@@ -1,0 +1,104 @@
+"""Point-cloud primitive ops (pointops parity).
+
+TPU-native equivalents of the reference's CUDA extension surface
+(lib/pointops/functions/pointops.py:38-675 — furthest point sampling,
+gathering, knn/ball query, grouping, 3-NN interpolation).  The reference
+ships these as hand-written CUDA kernels; on TPU each one is a dense
+gather/top-k/segment computation XLA maps onto the VPU/MXU directly.
+
+All functions are single-cloud ([n, ...]); ``jax.vmap`` over a leading batch
+axis replaces the CUDA kernels' blockIdx batching.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gdm_tpu.ops.knn import knn, pairwise_sqdist
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def farthest_point_sample(xyz: jax.Array, m: int) -> jax.Array:
+    """Iterative farthest-point sampling (pointops FurthestSampling parity).
+
+    Args:
+      xyz: [n, 3] points.
+      m: number of samples.
+
+    Returns:
+      [m] int32 indices. Starts from index 0 like the CUDA kernel.
+    """
+    n = xyz.shape[0]
+    mind = jnp.full((n,), jnp.inf, jnp.float32)
+
+    def body(carry, _):
+        mind, last = carry
+        d = jnp.sum(jnp.square(xyz - xyz[last]), axis=-1)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind).astype(jnp.int32)
+        return (mind, nxt), last
+
+    (_, _), idx = jax.lax.scan(
+        body, (mind, jnp.int32(0)), None, length=m)
+    return idx.astype(jnp.int32)
+
+
+def gather_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """[n, c] features gathered at [m] indices -> [m, c] (Gathering parity)."""
+    return jnp.take(feats, idx, axis=0)
+
+
+def group_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """[n, c] features grouped by [m, k] neighbour indices -> [m, k, c]."""
+    return jnp.take(feats, idx, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ball_query(
+    xyz: jax.Array, centers: jax.Array, radius: float, k: int
+) -> jax.Array:
+    """Indices of up to k points within `radius` of each centre.
+
+    Matches pointops BallQuery semantics: slots beyond the in-radius count
+    repeat the first in-radius index (so grouped features are padded with a
+    valid point, and max-pooling is unaffected).
+    """
+    d2 = pairwise_sqdist(centers, xyz)                    # [m, n]
+    in_ball = d2 <= radius * radius
+    # rank points: in-ball points keep their distance, others pushed to inf
+    ranked = jnp.where(in_ball, d2, jnp.inf)
+    _, idx = jax.lax.top_k(-ranked, k)                    # [m, k] nearest-first
+    valid = jnp.take_along_axis(in_ball, idx, axis=1)
+    first = idx[:, :1]
+    return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def three_nn_interpolate(
+    src_xyz: jax.Array, src_feats: jax.Array, dst_xyz: jax.Array
+) -> jax.Array:
+    """Inverse-distance weighted 3-NN feature propagation.
+
+    pointops Interpolation parity: weights = (1/d) / sum(1/d) over the three
+    nearest source points of each destination point.
+
+    Args:
+      src_xyz:  [n, 3], src_feats: [n, c], dst_xyz: [m, 3]
+    Returns:
+      [m, c]
+    """
+    from gdm_tpu.ops.knn import knn_with_dist
+
+    idx, dist = knn_with_dist(src_xyz, dst_xyz, 3)
+    w = 1.0 / jnp.maximum(dist, 1e-8)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    neigh = jnp.take(src_feats, idx, axis=0)              # [m, 3, c]
+    return jnp.sum(neigh * w[..., None], axis=1)
+
+
+def knn_query(xyz: jax.Array, centers: jax.Array, k: int) -> jax.Array:
+    """pointops KNNQuery parity — see :func:`gdm_tpu.ops.knn.knn`."""
+    return knn(xyz, centers, k)
