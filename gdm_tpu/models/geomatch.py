@@ -1,0 +1,103 @@
+"""GeoMatch: top-level dense-matching pose network (flax).
+
+Reference: models/geoMatch.py (GeoMatch.forward :159-200 and heads :32-52).
+Scene branch FFB6D + mesh branch SplineCNN + seg / feature-encoding heads;
+training adds the circle matching loss, focal seg loss and uncertainty
+weighting (:188-195).
+
+The static per-object mesh graph is passed as a pytree of arrays
+(`MeshArrays`, from gdm_tpu.models.spline_mesh.MeshGraph) instead of being
+baked into module buffers — one compiled graph serves every object, and
+vmap over stacked MeshArrays gives multi-object batched inference (the
+reference loops models per batch element, train_lm.py:298-314).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gdm_tpu.losses import (
+    AutomaticWeightedLoss,
+    focal_loss,
+    pointwise_matching_loss,
+)
+from gdm_tpu.models.ffb6d import FFB6DEmb
+from gdm_tpu.models.layers import DenseBNAct, MLPHead
+from gdm_tpu.models.spline_mesh import MeshGraph, SplineMeshEncoder
+
+
+class MeshArrays(NamedTuple):
+    """Device-side constants of one object's mesh graph."""
+
+    xyz: jax.Array        # [m, 3]
+    node_x: jax.Array     # [m, 9]
+    neigh_idx: jax.Array  # [m, k]
+    basis: jax.Array      # [m, k, 8]
+    slot: jax.Array       # [m, k, 8]
+    sym_idx: jax.Array | None = None
+
+    @classmethod
+    def from_graph(cls, g: MeshGraph) -> "MeshArrays":
+        return cls(
+            xyz=jnp.asarray(g.xyz),
+            node_x=jnp.asarray(g.node_x),
+            neigh_idx=jnp.asarray(g.neigh_idx),
+            basis=jnp.asarray(g.basis),
+            slot=jnp.asarray(g.slot),
+            sym_idx=None if g.sym_idx is None else jnp.asarray(g.sym_idx),
+        )
+
+
+class GeoMatch(nn.Module):
+    """RandLA+SplineCNN variant (the flagship model)."""
+
+    feat_dim: int = 128
+    positive_r: float = 0.002   # neighbor_dis_th * diameter_m
+    circle_gamma: float = 16.0
+    circle_m: float = 0.2
+
+    def setup(self):
+        self.pcd_emb = FFB6DEmb(name="pcd_emb")
+        self.model_emb = SplineMeshEncoder(self.feat_dim, name="model_emb")
+        self.awl = AutomaticWeightedLoss(2, name="awl")
+        self.feature_encoding_layer = MLPHead(
+            (128, 128, 128, self.feat_dim), final_bias=False,
+            name="feature_encoding_layer")
+        self.normalize_feature_layer = DenseBNAct(
+            self.feat_dim, name="normalize_feature_layer")
+        self.seg_layer = MLPHead((128, 128, 128, 2), name="seg_layer")
+
+    def __call__(self, inputs, mesh: MeshArrays, train: bool = False,
+                 momentum=0.1):
+        rgbd_emb = self.pcd_emb(inputs, train, momentum)          # [B,N,128]
+        mesh_features = self.model_emb(
+            mesh.node_x, mesh.neigh_idx, mesh.basis, mesh.slot,
+            train=train)                                          # [M,128]
+        rgbd_features = self.feature_encoding_layer(
+            rgbd_emb, train, momentum)
+        rgbd_emb = rgbd_emb + self.normalize_feature_layer(
+            rgbd_features, train, momentum)
+        seg = self.seg_layer(rgbd_emb, train, momentum)           # [B,N,2]
+
+        end_points = {
+            "seg": seg,
+            "mesh": mesh_features,
+            "rgbd": rgbd_features,
+        }
+        if train:
+            match_loss = pointwise_matching_loss(
+                rgbd_features, mesh_features, mesh.xyz,
+                inputs["labels"], inputs["match_idx"],
+                inputs["visible_flag"], self.positive_r,
+                sym_idx=mesh.sym_idx, m=self.circle_m,
+                gamma=self.circle_gamma, feat_dim=self.feat_dim)
+            seg_loss = focal_loss(seg, inputs["labels"], gamma=2.0)
+            end_points["loss"] = self.awl(seg_loss, match_loss)
+            end_points["seg_loss"] = seg_loss
+            end_points["match_loss"] = match_loss
+        return end_points

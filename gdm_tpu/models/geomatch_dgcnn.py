@@ -1,0 +1,74 @@
+"""GeoMatch DGCNN variant (backbone swap, config 5 in BASELINE.json).
+
+Reference: models/geoMatch_DGCNN.py — same I/O contract as GeoMatch but
+both branches are DGCNN edge-conv stacks; differences preserved:
+  * positive radius is depth-scaled 3mm (geoMatch_DGCNN.py:22,62-65),
+  * the padding column is one-hot e0, not -1s (:95-98),
+  * scene features are normalised *before* the heads' loss selection and
+    row validity uses `origin_labels` (:92,101),
+  * mesh node features for the loss come from the mesh xyz (:121).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gdm_tpu.losses import (
+    AutomaticWeightedLoss,
+    focal_loss,
+    pointwise_matching_loss,
+)
+from gdm_tpu.models.dgcnn import DgcnnMeshEmb, DgcnnPointEmb
+from gdm_tpu.models.layers import DenseBNAct, MLPHead
+
+
+class GeoMatchDGCNN(nn.Module):
+    feat_dim: int = 128
+    k_scene: int = 16
+    k_mesh: int = 20
+    positive_r_mm: float = 3.0
+    circle_gamma: float = 16.0
+    circle_m: float = 0.2
+
+    def setup(self):
+        self.pcd_emb = DgcnnPointEmb(self.k_scene, feat_dim=self.feat_dim,
+                                     name="pcd_emb")
+        self.model_emb = DgcnnMeshEmb(self.k_mesh, feat_dim=self.feat_dim,
+                                      name="model_emb")
+        self.awl = AutomaticWeightedLoss(2, name="awl")
+        self.feature_encoding_layer = MLPHead(
+            (128, 128, 128, self.feat_dim), final_bias=False,
+            name="feature_encoding_layer")
+        self.normalize_feature_layer = DenseBNAct(
+            self.feat_dim, name="normalize_feature_layer")
+        self.seg_layer = MLPHead((128, 128, 128, 2), name="seg_layer")
+
+    def __call__(self, inputs, mesh_x, train: bool = False, momentum=0.1):
+        """mesh_x: [M, 9] mesh node features (xyz_m | rgb_norm | normal)."""
+        rgbd_emb = self.pcd_emb(inputs["cld_rgb_nrm"], train, momentum)
+        mesh_features = self.model_emb(mesh_x, train, momentum)   # [M,128]
+        rgbd_features = self.feature_encoding_layer(
+            rgbd_emb, train, momentum)
+        rgbd_emb = rgbd_emb + self.normalize_feature_layer(
+            rgbd_features, train, momentum)
+        seg = self.seg_layer(rgbd_emb, train, momentum)
+
+        end_points = {
+            "seg": seg,
+            "mesh": mesh_features,
+            "rgbd": rgbd_features,
+        }
+        if train:
+            match_loss = pointwise_matching_loss(
+                rgbd_features, mesh_features, mesh_x[:, :3],
+                inputs["origin_labels"], inputs["match_idx"],
+                inputs["visible_flag"], positive_r=0.0,
+                m=self.circle_m, gamma=self.circle_gamma,
+                feat_dim=self.feat_dim, pad_onehot=True,
+                rt=inputs["RT"], depth_scaled_r_mm=self.positive_r_mm)
+            seg_loss = focal_loss(seg, inputs["labels"], gamma=2.0)
+            end_points["loss"] = self.awl(seg_loss, match_loss)
+            end_points["seg_loss"] = seg_loss
+            end_points["match_loss"] = match_loss
+        return end_points

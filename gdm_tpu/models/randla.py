@@ -1,0 +1,132 @@
+"""RandLA-Net point branch (flax, channels-last).
+
+Mirrors reference ``models/RandLA/RandLANet.py``: fc0 + 4 dilated residual
+blocks (Dilated_res_block :674-688, Building_block :691-738, Att_pooling
+:741-754) and the decoder 1x1 blocks (:31-39).  Feature tensors are
+[B, N, C]; neighbour gathers are [B, N, K, C] — XLA lowers the take +
+reduce patterns onto the VPU, and all 1x1 convs are Dense (MXU).
+
+The reference's random-sampling pooling keeps the first N/4 points of a
+pre-shuffled cloud (linemod_pbr.py:538); the neighbour/pool/interp index
+pyramid arrives precomputed in the input dict (built on device by
+gdm_tpu.data.pipeline rather than by a CPU KD-tree per sample).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gdm_tpu.models.layers import DenseBNAct, leaky_relu02
+
+
+def gather_neighbours_b(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched neighbour gather: [B,N,C] by [B,M,K] -> [B,M,K,C].
+
+    Functional equivalent of Building_block.gather_neighbour
+    (RandLANet.py:729-738).
+    """
+    return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(feats, idx)
+
+
+def max_pool_neighbours(feats: jax.Array, pool_idx: jax.Array) -> jax.Array:
+    """random_sample parity (RandLANet.py:90-105): gather [B,M,K] neighbour
+    features and max over K -> [B,M,C]."""
+    return jnp.max(gather_neighbours_b(feats, pool_idx), axis=2)
+
+
+def nearest_upsample(feats: jax.Array, interp_idx: jax.Array) -> jax.Array:
+    """nearest_interpolation parity (RandLANet.py:107-120): [B,M,1] or
+    [B,M] nearest-neighbour index gather -> [B,M,C]."""
+    if interp_idx.ndim == 3:
+        interp_idx = interp_idx[..., 0]
+    return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(feats, interp_idx)
+
+
+class AttPooling(nn.Module):
+    """Attentive pooling over the K neighbour axis (RandLANet.py:741-754)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, x, train: bool, momentum=0.1):
+        # x: [B, N, K, C]
+        att = nn.Dense(x.shape[-1], use_bias=False, name="fc")(x)
+        scores = jax.nn.softmax(att, axis=2)
+        agg = jnp.sum(x * scores, axis=2)                 # [B, N, C]
+        return DenseBNAct(self.d_out, name="mlp")(agg, train, momentum)
+
+
+class BuildingBlock(nn.Module):
+    """Local feature aggregation (RandLANet.py:691-738)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, xyz, feats, neigh_idx, train: bool, momentum=0.1):
+        # relative position encoding: [B, N, K, 10] (RandLANet.py:720-727)
+        neigh_xyz = gather_neighbours_b(xyz, neigh_idx)
+        xyz_tile = jnp.broadcast_to(
+            xyz[:, :, None, :], neigh_xyz.shape)
+        rel = xyz_tile - neigh_xyz
+        dist = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+        f_xyz = jnp.concatenate([dist, rel, xyz_tile, neigh_xyz], axis=-1)
+
+        f_xyz1 = DenseBNAct(self.d_out // 2, name="mlp1")(
+            f_xyz, train, momentum)
+        f_neigh = gather_neighbours_b(feats, neigh_idx)
+        agg1 = AttPooling(self.d_out // 2, name="att_pooling_1")(
+            jnp.concatenate([f_neigh, f_xyz1], axis=-1), train, momentum)
+
+        f_xyz2 = DenseBNAct(self.d_out // 2, name="mlp2")(
+            f_xyz1, train, momentum)
+        f_neigh2 = gather_neighbours_b(agg1, neigh_idx)
+        return AttPooling(self.d_out, name="att_pooling_2")(
+            jnp.concatenate([f_neigh2, f_xyz2], axis=-1), train, momentum)
+
+
+class DilatedResBlock(nn.Module):
+    """RandLANet.py:674-688."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, feats, xyz, neigh_idx, train: bool, momentum=0.1):
+        f = DenseBNAct(self.d_out // 2, name="mlp1")(feats, train, momentum)
+        f = BuildingBlock(self.d_out, name="lfa")(
+            xyz, f, neigh_idx, train, momentum)
+        f = DenseBNAct(2 * self.d_out, act=None, name="mlp2")(
+            f, train, momentum)
+        sc = DenseBNAct(2 * self.d_out, act=None, name="shortcut")(
+            feats, train, momentum)
+        return leaky_relu02(f + sc)
+
+
+class RandLAEncoder(nn.Module):
+    """fc0 + the dilated residual block stack, exposed stage-wise so the
+    FFB6D fusion can interleave (the reference reuses rndla.fc0 /
+    rndla.dilated_res_blocks / rndla.decoder_blocks directly,
+    ffb6d.py:28,40,90)."""
+
+    d_out: tuple = (32, 64, 128, 256)
+
+    def setup(self):
+        self.fc0 = DenseBNAct(8, name="fc0")
+        self.ds_blocks = [
+            DilatedResBlock(d, name=f"ds_{i}")
+            for i, d in enumerate(self.d_out)
+        ]
+        # decoder widths per RandLANet.py:31-39 given d_out=(32,64,128,256)
+        dec_widths = []
+        d_prev = 2 * self.d_out[-1]
+        for j in range(len(self.d_out)):
+            if j < 3:
+                w = 2 * self.d_out[-j - 2]
+            else:
+                w = 2 * self.d_out[0]
+            dec_widths.append(w)
+            d_prev = w
+        self.up_blocks = [
+            DenseBNAct(w, name=f"up_{j}") for j, w in enumerate(dec_widths)
+        ]

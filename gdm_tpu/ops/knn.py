@@ -61,6 +61,8 @@ def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512):
       idx: [m, k] int32 indices into support.
     """
     m = query.shape[0]
+    n = support.shape[0]
+    k_eff = min(k, n)
     chunk = min(chunk, m)
     pad = (-m) % chunk
     q = jnp.pad(query, ((0, pad), (0, 0)))
@@ -68,11 +70,16 @@ def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512):
 
     def one_chunk(qc):
         d = pairwise_sqdist(qc, support)                  # [chunk, n]
-        _, idx = jax.lax.top_k(-d, k)                     # ascending distance
+        _, idx = jax.lax.top_k(-d, k_eff)                 # ascending distance
         return idx.astype(jnp.int32)
 
-    idx = jax.lax.map(one_chunk, q)
-    return idx.reshape(-1, k)[:m]
+    idx = jax.lax.map(one_chunk, q).reshape(-1, k_eff)[:m]
+    if k_eff < k:
+        # fewer support points than neighbours requested: repeat the last
+        # (duplicates are harmless for max-pool/attention consumers)
+        idx = jnp.concatenate(
+            [idx, jnp.tile(idx[:, -1:], (1, k - k_eff))], axis=1)
+    return idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))

@@ -1,0 +1,271 @@
+"""Shape/contract tests for the model layer (small synthetic shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdm_tpu.data.pipeline import assemble_inputs
+from gdm_tpu.models import (
+    DgcnnMeshEmb,
+    DgcnnPointEmb,
+    FFB6DEmb,
+    GeoMatch,
+    GeoMatchDGCNN,
+    SplineMeshEncoder,
+)
+from gdm_tpu.models.geomatch import MeshArrays
+from gdm_tpu.models.pspnet import (
+    PSPNetFeats,
+    adaptive_avg_pool,
+    resize_bilinear_ac,
+)
+from gdm_tpu.models.resnet import ResNetFeats
+from gdm_tpu.models.spline_mesh import build_mesh_graph
+
+RNG = np.random.RandomState(42)
+B, S, N = 2, 64, 256  # batch, crop size, sampled points (test-scale)
+
+
+def make_batch(n_mesh=64, with_gt=True):
+    rgb = jnp.array(RNG.randn(B, S, S, 3), jnp.float32)
+    xyz_img = jnp.array(RNG.rand(B, S, S, 3), jnp.float32)
+    cld_rgb_nrm = jnp.array(RNG.randn(B, N, 9), jnp.float32)
+    choose = jnp.array(RNG.randint(0, S * S, (B, N)), jnp.int32)
+    kwargs = {}
+    if with_gt:
+        kwargs = dict(
+            labels=jnp.array(RNG.randint(0, 2, (B, N)), jnp.int32),
+            match_idx=jnp.array(
+                RNG.randint(0, n_mesh + 1, (B, N)), jnp.int32),
+            visible_flag=jnp.array(
+                RNG.randint(0, 2, (B, n_mesh)), jnp.uint8),
+            RT=jnp.array(RNG.randn(B, 3, 4), jnp.float32),
+        )
+    return assemble_inputs(rgb, cld_rgb_nrm, choose, xyz_img,
+                           knn_chunk=128, **kwargs)
+
+
+def make_mesh(n_mesh=64):
+    data = np.concatenate(
+        [RNG.rand(n_mesh, 3) * 100,           # xyz mm
+         RNG.randint(0, 255, (n_mesh, 3)),    # rgb
+         RNG.randn(n_mesh, 3)], axis=1).astype(np.float32)
+    return build_mesh_graph(data, n_mesh)
+
+
+class TestResNetPSP:
+    def test_resnet_stages(self):
+        model = ResNetFeats()
+        x = jnp.zeros((1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), x, train=False)
+        (x32s, x_3), _ = model.apply(params, x, train=False,
+                                     mutable=["batch_stats"])
+        assert x32s.shape == (1, 8, 8, 512)
+        assert x_3.shape == (1, 8, 8, 256)
+
+    def test_adaptive_pool_matches_torch_bins(self):
+        import torch
+
+        x = RNG.randn(1, 7, 7, 5).astype(np.float32)
+        for s in (1, 2, 3, 6):
+            ours = np.asarray(adaptive_avg_pool(jnp.array(x), (s, s)))
+            theirs = torch.nn.functional.adaptive_avg_pool2d(
+                torch.tensor(x).permute(0, 3, 1, 2), (s, s)
+            ).permute(0, 2, 3, 1).numpy()
+            np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_bilinear_ac_matches_torch(self):
+        import torch
+
+        x = RNG.randn(1, 5, 7, 3).astype(np.float32)
+        ours = np.asarray(resize_bilinear_ac(jnp.array(x), (10, 14)))
+        theirs = torch.nn.functional.interpolate(
+            torch.tensor(x).permute(0, 3, 1, 2), size=(10, 14),
+            mode="bilinear", align_corners=True
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+class TestFFB6D:
+    def test_forward_shape(self):
+        inputs = make_batch(with_gt=False)
+        model = FFB6DEmb()
+        params = model.init(jax.random.PRNGKey(0), inputs, train=False)
+        out, _ = model.apply(params, inputs, train=False,
+                             mutable=["batch_stats"])
+        assert out.shape == (B, N, 128)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestSplineMesh:
+    def test_encoder_shape(self):
+        g = make_mesh()
+        model = SplineMeshEncoder(feat_dim=32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.array(g.node_x),
+            jnp.array(g.neigh_idx), jnp.array(g.basis), jnp.array(g.slot))
+        out = model.apply(
+            params, jnp.array(g.node_x), jnp.array(g.neigh_idx),
+            jnp.array(g.basis), jnp.array(g.slot))
+        assert out.shape == (64, 32)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestGeoMatch:
+    def test_eval_forward(self):
+        inputs = make_batch(with_gt=False)
+        mesh = MeshArrays.from_graph(make_mesh())
+        model = GeoMatch()
+        params = model.init(jax.random.PRNGKey(0), inputs, mesh,
+                            train=False)
+        out, _ = model.apply(params, inputs, mesh, train=False,
+                             mutable=["batch_stats"])
+        assert out["seg"].shape == (B, N, 2)
+        assert out["rgbd"].shape == (B, N, 128)
+        assert out["mesh"].shape == (64, 128)
+
+    def test_train_losses(self):
+        inputs = make_batch(with_gt=True)
+        mesh = MeshArrays.from_graph(make_mesh())
+        model = GeoMatch(positive_r=0.01)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            inputs, mesh, train=True)
+        out, _ = model.apply(
+            params, inputs, mesh, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        for k in ("loss", "seg_loss", "match_loss"):
+            v = np.asarray(out[k])
+            assert v.shape == ()
+            assert np.isfinite(v), k
+        assert np.asarray(out["match_loss"]) > 0
+
+    def test_grads_flow(self):
+        inputs = make_batch(with_gt=True)
+        mesh = MeshArrays.from_graph(make_mesh())
+        model = GeoMatch(positive_r=0.01)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            inputs, mesh, train=True)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                inputs, mesh, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return out["loss"]
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_leaves(grads)
+        norms = [float(jnp.linalg.norm(g)) for g in flat]
+        assert all(np.isfinite(n) for n in norms)
+        # the mesh branch and both heads must receive gradient
+        assert float(jnp.linalg.norm(
+            jax.tree_util.tree_leaves(grads["model_emb"])[0])) >= 0
+        assert sum(n > 0 for n in norms) > len(norms) * 0.5
+
+
+class TestDGCNN:
+    def test_point_emb(self):
+        model = DgcnnPointEmb(k=8, embed_dim=64, feat_dim=16)
+        x = jnp.array(RNG.randn(2, 64, 9), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out, _ = model.apply(params, x, mutable=["batch_stats"])
+        assert out.shape == (2, 64, 16)
+
+    def test_geomatch_dgcnn_train(self):
+        n_mesh = 64
+        mesh_x = jnp.array(RNG.randn(n_mesh, 9), jnp.float32)
+        inputs = {
+            "cld_rgb_nrm": jnp.array(RNG.randn(B, N, 9), jnp.float32),
+            "labels": jnp.array(RNG.randint(0, 2, (B, N)), jnp.int32),
+            "origin_labels": jnp.array(RNG.randint(0, 2, (B, N)),
+                                       jnp.int32),
+            "match_idx": jnp.array(RNG.randint(0, n_mesh + 1, (B, N)),
+                                   jnp.int32),
+            "visible_flag": jnp.array(RNG.randint(0, 2, (B, n_mesh)),
+                                      jnp.uint8),
+            "RT": jnp.array(np.tile(np.eye(3, 4, dtype=np.float32),
+                                    (B, 1, 1))),
+        }
+        model = GeoMatchDGCNN(k_scene=8, k_mesh=8)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            inputs, mesh_x, train=True)
+        out, _ = model.apply(
+            params, inputs, mesh_x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        assert np.isfinite(np.asarray(out["loss"]))
+        assert out["seg"].shape == (B, N, 2)
+
+
+class TestLosses:
+    def test_focal_matches_reference_formula(self):
+        import torch
+        import torch.nn.functional as F
+
+        logits = RNG.randn(4, 10, 2).astype(np.float32)
+        targets = RNG.randint(0, 2, (4, 10))
+        from gdm_tpu.losses import focal_loss
+
+        ours = float(focal_loss(jnp.array(logits), jnp.array(targets),
+                                gamma=2.0))
+        # reference loss.py:24-46 computes over [B*N, C]
+        lt = torch.tensor(logits).reshape(-1, 2)
+        tt = torch.tensor(targets).reshape(-1, 1)
+        logpt = F.log_softmax(lt, dim=-1).gather(1, tt).view(-1)
+        pt = logpt.data.exp()
+        ref = float((-1 * (1 - pt) ** 2 * logpt).mean())
+        assert abs(ours - ref) < 1e-5
+
+    def test_circle_loss_matches_reference_formula(self):
+        import torch
+
+        n, m = 8, 16
+        sim = RNG.uniform(-1, 1, (n, m)).astype(np.float32)
+        mask = RNG.rand(n, m) > 0.7
+        mask[:, 0] = True   # ensure every row has a positive
+        mask[:, 1] = False  # and a negative
+        from gdm_tpu.losses import circle_loss
+
+        ours = float(circle_loss(jnp.array(sim), jnp.array(mask), m=0.2,
+                                 gamma=16.0))
+
+        # reference loss.py:433-494
+        simt = torch.tensor(sim)
+        maskt = torch.tensor(mask)
+        ap = torch.clamp_min(-simt.detach() + 1 + 0.2, min=0.0).masked_fill(
+            ~maskt, 0)
+        an = torch.clamp_min(simt.detach() + 0.2, min=0.0).masked_fill(
+            maskt, 0)
+        logit_p = -ap * (simt - 0.8) * 16
+        logit_n = an * (simt - 0.2) * 16
+
+        def ref_lse(inputs, mask01):
+            mask_inv = 1.0 - mask01
+            offset = -1e7 * mask_inv
+            s, _ = torch.max(inputs + offset, dim=-1, keepdim=True)
+            io = inputs - s
+            io = io.masked_fill(mask_inv.bool(), -float("inf"))
+            return (s + io.exp().sum(-1, keepdim=True).log()).squeeze(-1)
+
+        lse_p = ref_lse(logit_p, maskt.float())
+        lse_n = ref_lse(logit_n, (~maskt).float())
+        ref = float(torch.nn.functional.softplus(lse_p + lse_n).mean())
+        assert abs(ours - ref) < 1e-4
+
+    def test_awl_formula(self):
+        from gdm_tpu.losses import AutomaticWeightedLoss
+
+        awl = AutomaticWeightedLoss(2)
+        params = awl.init(jax.random.PRNGKey(0), 1.0, 2.0)
+        out = float(awl.apply(params, 1.0, 2.0))
+        # p = 1: 0.5*1 + log2 + 0.5*2 + log2
+        expected = 0.5 * 1 + np.log(2.0) + 0.5 * 2 + np.log(2.0)
+        assert abs(out - expected) < 1e-5
