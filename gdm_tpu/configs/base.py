@@ -1,0 +1,119 @@
+"""Config dataclasses + the three dataset presets."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """DATASETS block (config/lmo_cfg.py:61-103)."""
+
+    name: str                       # refdata registry key
+    data_root: str = "datasets"
+    train_subsets: Sequence[str] = ("train_pbr",)
+    test_subsets: Sequence[str] = ("test",)
+    obj_ids: Sequence[int] = ()
+    img_hw: tuple = (480, 640)
+    dzi_scale_ratio: float = 0.25
+    dzi_shift_ratio: float = 0.25
+    dzi_pad_ratio: float = 1.5
+    model_pt_num: int = 4096        # mesh vertices used
+    num_sample_points: int = 4096   # scene points sampled
+    nn_dist_th: float = 0.05        # x diameter: GT match outlier cutoff
+    input_size: int = 256
+    sym_objs: Sequence[str] = ()
+    real_pbr_mix: float | None = None   # ycbv: p(real)=0.8 (ycbv_pbr.py:684)
+    fill_depth: bool = False            # ycbv: ip_basic on the crop
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """MODEL block (config/lmo_cfg.py:123-133)."""
+
+    feat_dim: int = 128
+    n_mesh_node: int = 4096
+    neighbor_dis_th: float = 0.02   # x diameter: circle-loss positive radius
+    backbone: str = "randla_spline"  # or "dgcnn"
+    randla_d_out: Sequence[int] = (32, 64, 128, 256)
+    randla_k: int = 16
+    mesh_knn_k: int = 4
+    spline_kernel: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """SOLVER/DATALOADER blocks + what train_lm.py actually runs."""
+
+    total_epochs: int = 50
+    train_batch_size: int = 24
+    val_batch_size: int = 128
+    base_lr: float = 1e-6           # CyclicLR (train_lm.py:441-447)
+    max_lr: float = 1e-3
+    clr_div: int = 6                # step_size = epochs*len/bs/div
+    weight_decay: float = 0.0
+    bn_momentum: float = 0.9        # torch convention (train_lm.py:53-57)
+    bn_decay: float = 0.5
+    bn_decay_step: float = 2e5
+    bn_momentum_clip: float = 0.01
+    checkpoint_every_epochs: int = 10
+    num_workers: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig
+    model: ModelConfig
+    solver: SolverConfig
+    checkpoints_dir: str = "train_log/checkpoints"
+
+
+LMO = Config(
+    data=DataConfig(
+        name="lmo",
+        train_subsets=("train_pbr",),
+        obj_ids=(1, 5, 6, 8, 9, 10, 11, 12),
+        nn_dist_th=0.05,
+        sym_objs=("eggbox",),
+    ),
+    model=ModelConfig(neighbor_dis_th=0.02),
+    solver=SolverConfig(total_epochs=50, train_batch_size=24,
+                        val_batch_size=128),
+)
+
+LMFULL = Config(
+    data=DataConfig(
+        name="lm_full",
+        train_subsets=("real", "fuse", "renders"),
+        obj_ids=tuple(range(1, 16)),
+        num_sample_points=480 * 640 // 24,   # 12800 (lmfull_cfg.py:76)
+        nn_dist_th=0.01,
+        input_size=128,
+        sym_objs=("eggbox",),
+    ),
+    model=ModelConfig(neighbor_dis_th=0.02),
+    solver=SolverConfig(total_epochs=50, train_batch_size=6,
+                        val_batch_size=8),
+)
+
+YCBV = Config(
+    data=DataConfig(
+        name="ycbv",
+        train_subsets=("train_real", "train_pbr"),
+        obj_ids=tuple(range(1, 22)),
+        nn_dist_th=0.05,
+        sym_objs=("024_bowl", "052_extra_large_clamp", "061_foam_brick"),
+        real_pbr_mix=0.8,
+        fill_depth=True,
+    ),
+    model=ModelConfig(neighbor_dis_th=0.06),
+    solver=SolverConfig(total_epochs=30, train_batch_size=8,
+                        val_batch_size=128),
+)
+
+_PRESETS = {"lmo": LMO, "lmfull": LMFULL, "lm_full": LMFULL, "ycbv": YCBV}
+
+
+def get_config(name: str) -> Config:
+    return _PRESETS[name]

@@ -1,0 +1,67 @@
+"""Ground-truth correspondence generation (host side).
+
+Reference: datasets/lm/linemod_pbr.py:602-655 (get_pose_gt_info): hidden-
+point-removal visibility of the mesh under the GT pose, nearest-neighbour
+matching of foreground scene points to visible transformed vertices,
+rejection of matches beyond `nn_dist_th`, and label refinement.
+
+Kept on the host per SURVEY.md section 7 "hard parts" (convex hull is data
+dependent); deterministic given its inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from gdm_tpu.ops.visibility import visible_points
+
+
+def pose_gt_info(
+    cld: np.ndarray,
+    pt_labels: np.ndarray,
+    pose: np.ndarray,
+    mesh_pts: np.ndarray,
+    nn_dist_th: float = 0.01,
+):
+    """Compute correspondence GT for one sample.
+
+    Args:
+      cld: [n, 3] sampled scene points (camera frame, metres).
+      pt_labels: [n] raw fg labels.
+      pose: [3, 4] GT object pose.
+      mesh_pts: [m, 3] object vertices (metres).
+      nn_dist_th: outlier rejection distance (reference hardcodes 0.01 at
+        linemod_pbr.py:641; ycbv_pbr.py:643 uses the config value).
+
+    Returns:
+      (labels_refined [n], match_idx [n] with m = no-match,
+       visible_flag [m] uint8, valid bool)
+    """
+    n, m = len(cld), len(mesh_pts)
+    match_idx = np.full(n, m, np.int32)
+    visible_flag = np.zeros(m, np.uint8)
+    labels = pt_labels.copy()
+
+    fg = pt_labels > 0
+    obj_cld = cld[fg]
+    if obj_cld.shape[0] == 0:
+        return labels, match_idx, visible_flag, False
+
+    R, t = pose[:, :3], pose[:, 3:4]
+    cam_center_model = -R.T @ t                       # inverse-pose origin
+    vis_idx = visible_points(mesh_pts, cam_center_model.ravel())
+    visible_flag[vis_idx] = 1
+    vis_proj = mesh_pts[vis_idx] @ R.T + t.T
+
+    dist, nn = cKDTree(vis_proj).query(obj_cld, k=1)
+    matched = vis_idx[nn]
+    bad = dist > nn_dist_th
+    if bad.all():
+        return labels, match_idx, visible_flag, False
+    matched = matched.astype(np.int32)
+    matched[bad] = m
+    fg_idx = np.where(fg)[0]
+    labels[fg_idx[bad]] = 0
+    match_idx[fg] = matched
+    return labels, match_idx, visible_flag, True

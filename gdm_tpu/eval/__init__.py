@@ -1,0 +1,15 @@
+"""Eval layer: jitted on-device inference + pose recovery, host metric
+bookkeeping (reference evaluator.py + utils/pvn3d_eval_utils_kpls.py +
+lib/pysixd/pose_error.py main-path subset)."""
+
+from gdm_tpu.eval.pose_fit import fit_poses_from_outputs, icp_refine
+from gdm_tpu.eval.metrics import (
+    add_err,
+    adi_err,
+    re_err,
+    te_err,
+    proj_err,
+    get_closest_rot,
+    voc_auc,
+)
+from gdm_tpu.eval.evaluator import Evaluator

@@ -1,0 +1,140 @@
+"""On-device pose recovery from network outputs.
+
+Reference: evaluator.py:60-102 (cal_frame_poses) ran per frame on a host
+thread pool (evaluator.py:294-303) with device<->host ping-pong; here the
+whole batch is one jitted, vmapped computation:
+
+    seg argmax -> fg mask -> normalise features -> [N, M] similarity ->
+    per-point argmax -> masked (weighted) Kabsch
+
+Failure conventions mirror the reference: a frame with a failed detection,
+<=1 segmented points, or <5 correspondences returns the sentinel pose
+R=I, t=(0,0,-1000) (evaluator.py:70-97).  Optional refinement: fixed-
+iteration ICP (utils/icp.py parity) or mean-shift translation filtering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gdm_tpu.ops.kabsch import weighted_kabsch, transform_pts
+from gdm_tpu.ops.knn import knn_with_dist
+from gdm_tpu.ops.meanshift import mean_shift
+
+
+def _miss_pose():
+    rt = jnp.eye(3, 4, dtype=jnp.float32)
+    return rt.at[2, 3].set(-1000.0)
+
+
+def fit_pose_single(
+    cld: jax.Array,
+    seg: jax.Array,
+    mesh_features: jax.Array,
+    rgbd_features: jax.Array,
+    mesh_xyz: jax.Array,
+    det: jax.Array,
+):
+    """One frame (cal_frame_poses parity, fixed shape).
+
+    Args:
+      cld:  [N, 3] scene points.
+      seg:  [N, 2] seg logits.
+      mesh_features: [M, C]; rgbd_features: [N, C]; mesh_xyz: [M, 3].
+      det:  scalar 0/1 — detection success flag.
+
+    Returns:
+      ([3, 4] pose, [N] correspondence weights, [N] matched vertex ids)
+    """
+    fg = (jnp.argmax(seg, axis=-1) == 1)
+    f = rgbd_features / jnp.maximum(
+        jnp.linalg.norm(rgbd_features, axis=-1, keepdims=True), 1e-12)
+    # reference normalises mesh per column of [C, M] (evaluator.py:90);
+    # ours is [M, C], so per row
+    mf = mesh_features / jnp.maximum(
+        jnp.linalg.norm(mesh_features, axis=-1, keepdims=True), 1e-12)
+    sim = jax.lax.dot_general(
+        f, mf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [N, M]
+    idx = jnp.argmax(sim, axis=-1)
+    w = fg.astype(jnp.float32) * det.astype(jnp.float32)
+    A = jnp.take(mesh_xyz, idx, axis=0)
+    rt = weighted_kabsch(A, cld, w)
+    ok = jnp.sum(w) >= 5.0
+    rt = jnp.where(ok, rt, _miss_pose())
+    return rt, w, idx
+
+
+@functools.partial(jax.jit, static_argnames=("refine", "icp_iters"))
+def fit_poses_from_outputs(
+    cld: jax.Array,
+    end_points: dict,
+    mesh_xyz: jax.Array,
+    det: jax.Array | None = None,
+    refine: str | None = None,
+    icp_iters: int = 10,
+):
+    """Batched pose fit from GeoMatch outputs.
+
+    Args:
+      cld: [B, N, 3]; end_points: {'seg' [B,N,2], 'rgbd' [B,N,C],
+      'mesh' [M,C]}; mesh_xyz: [M, 3]; det: [B] 0/1.
+      refine: None | 'icp' | 'meanshift'.
+
+    Returns:
+      poses [B, 3, 4].
+    """
+    b = cld.shape[0]
+    det = jnp.ones((b,), jnp.float32) if det is None else det
+
+    def one(c, s, r, d):
+        rt, w, idx = fit_pose_single(
+            c, s, end_points["mesh"], r, mesh_xyz, d)
+        if refine == "icp":
+            rt2 = icp_refine(mesh_xyz, c, w, rt, iters=icp_iters)
+            rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
+        elif refine == "meanshift":
+            # cluster per-point translation votes t_i = p_i - R m_idx(i)
+            votes = c - jnp.take(mesh_xyz, idx, axis=0) @ rt[:, :3].T
+            center, _ = mean_shift(votes, bandwidth=0.05, mask=w)
+            rt = jnp.where(rt[2, 3] > -999.0,
+                           rt.at[:, 3].set(center), rt)
+        return rt
+
+    return jax.vmap(one)(cld, end_points["seg"], end_points["rgbd"], det)
+
+
+def icp_refine(
+    model_pts: jax.Array,
+    scene_pts: jax.Array,
+    scene_w: jax.Array,
+    init_rt: jax.Array,
+    iters: int = 10,
+    reject_dist: float = 0.01,
+):
+    """Fixed-iteration point-to-point ICP (utils/icp.py:126-190 parity).
+
+    Model points are moved by the current pose, matched to their nearest
+    (weighted-valid) scene point, gated by `reject_dist`, and refit.  Runs
+    as a lax.scan — no convergence branch (the reference's tolerance break
+    rarely fires before 10 iterations at these scales).
+    """
+    big = 1e6
+
+    # push invalid scene points far away so they never win the NN search
+    scene_valid = scene_pts + (1.0 - scene_w[:, None]) * big
+
+    def step(rt, _):
+        moved = transform_pts(model_pts, rt)
+        idx, dist = knn_with_dist(scene_valid, moved, 1)
+        tgt = jnp.take(scene_pts, idx[:, 0], axis=0)
+        w = (dist[:, 0] < reject_dist).astype(jnp.float32)
+        new_rt = weighted_kabsch(model_pts, tgt, w)
+        ok = jnp.sum(w) >= 4.0
+        return jnp.where(ok, new_rt, rt), None
+
+    rt, _ = jax.lax.scan(step, init_rt, None, length=iters)
+    return rt
