@@ -57,3 +57,11 @@ def crop_resize_by_warp_affine(img, center, scale, output_size, rot=0,
     return cv2.warpAffine(
         img, trans, (int(output_size[0]), int(output_size[1])),
         flags=interpolation)
+
+
+def crop_affine_matrix(center, scale, output_size) -> np.ndarray:
+    """The rot=0 crop transform as a 3x3 homogeneous matrix, suitable for
+    adjusting camera intrinsics: K_crop = crop_affine_matrix(...) @ K."""
+    A = np.eye(3, dtype=np.float32)
+    A[:2] = get_affine_transform(center, scale, 0, output_size)
+    return A

@@ -1,0 +1,249 @@
+"""BOP pose-estimation datasets (LineMOD / LM-O / LM-full / YCB-V).
+
+Host-side counterpart of reference datasets/lm/linemod_pbr.py:24-670 and
+datasets/ycbv/ycbv_pbr.py:28-692, restructured TPU-first:
+
+  * the host does ONLY image decode, DZI affine crop, photometric aug,
+    point sampling and GT-correspondence generation (scipy hull + KD-tree,
+    inherently data dependent — SURVEY.md section 7);
+  * everything the reference computed per-sample on CPU that is dense math
+    — depth fill, backprojection, surface normals, colour normalisation,
+    the 14-KD-tree KNN/fusion index pyramid (linemod_pbr.py:515-569) —
+    moves into the jitted device step (gdm_tpu.data.pipeline), so samples
+    ship as uint8 rgb + one float depth plane instead of 25 arrays.
+
+Per-sample output keys (numpy):
+  rgb_u8 [S,S,3] uint8, dpt_m [S,S] f32 (raw crop), dpt_filled [S,S] f32
+  (== dpt_m when fill disabled), K_crop [3,3] f32, choose [N] i32,
+  labels / origin_labels / match_idx [N] i32, visible_flag [M] u8,
+  RT [3,4] f32; test adds cls_id/det (i32) and file_name (str, via meta).
+
+Behaviour notes mirrored from the reference:
+  * depth scaling: /depth_factor for pbr+test frames, /1000 for real
+    (linemod_pbr.py:428-431);
+  * YCBV samples train items 0.8 real / 0.2 pbr regardless of index
+    (ycbv_pbr.py:663-690) and pastes real backgrounds behind 'synt' crops;
+  * YCBV choose-mask comes from the FILLED depth while point xyz comes
+    from the raw depth (ycbv_pbr.py:477-506);
+  * train items with <200 valid pixels or no valid GT matches resample a
+    random index (linemod_pbr.py:479,509,662-670);
+  * LM's GT match threshold is the hardcoded 0.01 m (linemod_pbr.py:641)
+    while YCBV uses nn_dist_th x diameter (ycbv_pbr.py:643) — exposed here
+    as gt_match_th_m.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import cv2
+import numpy as np
+from PIL import Image
+
+from gdm_tpu.configs.base import Config
+from gdm_tpu.data import bop
+from gdm_tpu.data.augment import (
+    add_real_background,
+    fill_depth_fast,
+    rgb_add_noise,
+)
+from gdm_tpu.data.crop import crop_affine_matrix, crop_resize_by_warp_affine
+from gdm_tpu.data.gt_gen import pose_gt_info
+from gdm_tpu.data.ply import load_fps_mesh
+
+
+class PoseDataset:
+    """One-object BOP dataset (the reference trains one model per cls_id).
+
+    Args:
+      cfg: preset Config (configs.base).
+      cls_id: the selected object id.
+      mode: 'train' | 'test'.
+      diameter_m: object diameter (metres) for the GT match threshold.
+      mesh_fps: optional preloaded [M, 9] fps mesh (xyz m | rgb | nrm);
+        loaded from <data_root>/kps/obj_XXXXXX_fps.npy when omitted.
+      rng: np.random.RandomState (fresh from seed when omitted).
+    """
+
+    def __init__(self, cfg: Config, cls_id: int, mode: str,
+                 diameter_m: float | None = None,
+                 mesh_fps: np.ndarray | None = None,
+                 rng: np.random.RandomState | None = None,
+                 data_root: str | None = None):
+        d = cfg.data
+        self.cfg = cfg
+        self.cls_id = int(cls_id)
+        self.mode = mode
+        self.in_size = d.input_size
+        self.n_sample = d.num_sample_points
+        self.im_hw = tuple(d.img_hw)
+        self.rng = rng if rng is not None else np.random.RandomState(0)
+        root = data_root or d.data_root
+
+        if mesh_fps is None:
+            mesh_fps = load_fps_mesh(
+                osp.join(root, "kps"), cls_id, d.model_pt_num)
+        self.mesh_fps = mesh_fps
+        self.mesh_pts = mesh_fps[:, :3]
+
+        if mode == "test":
+            self.gt_match_th_m = 0.02  # evaluator-side labels only
+        elif d.name == "ycbv":
+            assert diameter_m is not None
+            self.gt_match_th_m = d.nn_dist_th * diameter_m
+        else:
+            self.gt_match_th_m = 0.01   # linemod_pbr.py:641 hardcode
+        if mode == "test" and diameter_m is not None and d.name == "ycbv":
+            self.gt_match_th_m = d.nn_dist_th * diameter_m
+
+        subsets = d.train_subsets if mode == "train" else d.test_subsets
+        self.annos: list[bop.Record] = []
+        self.real_annos: list[bop.Record] = []
+        self.pbr_annos: list[bop.Record] = []
+        for subset in subsets:
+            dets = None
+            if mode == "test":
+                dets = bop.load_detections(
+                    osp.join(root, subset, "real_det.json"))
+            recs, _ = bop.build_index(
+                root, subset, d.obj_ids, mode, im_hw=self.im_hw,
+                selected_id=cls_id if mode == "train" else None,
+                detections=dets)
+            self.annos += recs
+            if "pbr" in subset:
+                self.pbr_annos += recs
+            else:
+                self.real_annos += recs
+        self.mix_real = (d.real_pbr_mix if mode == "train" else None)
+        self.fill_depth = d.fill_depth
+        self.add_noise = mode == "train" and d.name == "ycbv"
+
+    # -- indexing ----------------------------------------------------------
+
+    def __len__(self):
+        return len(self.annos)
+
+    def _pick_record(self, idx: int) -> bop.Record:
+        if self.mode != "train" or self.mix_real is None \
+                or not self.real_annos or not self.pbr_annos:
+            return self.annos[idx]
+        if self.rng.rand() < self.mix_real:       # ycbv_pbr.py:682-690
+            return self.real_annos[self.rng.randint(len(self.real_annos))]
+        return self.pbr_annos[self.rng.randint(len(self.pbr_annos))]
+
+    def __getitem__(self, idx: int) -> dict:
+        if self.mode == "train":
+            data = self.get_item(self._pick_record(idx))
+            while data is None:
+                data = self.get_item(
+                    self._pick_record(self.rng.randint(len(self))))
+            return data
+        data = self.get_item(self.annos[idx])
+        assert data is not None
+        return data
+
+    # -- the per-sample pipeline -------------------------------------------
+
+    def get_item(self, rec: bop.Record) -> dict | None:
+        with Image.open(rec.rgb_file) as ri:
+            rgb = np.array(ri)[:, :, :3]
+        with Image.open(rec.depth_file) as di:
+            dpt = np.array(di).astype(np.float32)
+        with Image.open(rec.mask_file) as li:
+            mask = np.array(li)
+        if rec.img_type in ("pbr", "test"):
+            dpt_m = dpt / rec.depth_factor
+        else:
+            dpt_m = dpt / 1000.0
+        msk_dp = (dpt_m > 1e-6).astype(np.uint8)
+        K = rec.cam_K
+
+        det = 1
+        if self.mode == "test":
+            if rec.bbox_est is not None and rec.bbox_est[2] != 0:
+                bbox = rec.bbox_est
+            else:
+                det = 0
+                bbox = rec.bbox
+        else:
+            bbox = rec.bbox
+
+        dcfg = self.cfg.data
+        center, scale = bop.aug_bbox_dzi(
+            bbox, self.rng, dcfg.dzi_scale_ratio, dcfg.dzi_shift_ratio,
+            dcfg.dzi_pad_ratio, self.im_hw, test=self.mode == "test")
+
+        S = self.in_size
+        rgb_c = crop_resize_by_warp_affine(
+            rgb, center, scale, S, interpolation=cv2.INTER_LINEAR)
+        mask_c = crop_resize_by_warp_affine(
+            mask, center, scale, S, interpolation=cv2.INTER_NEAREST)
+        dpt_c = crop_resize_by_warp_affine(
+            dpt_m, center, scale, S, interpolation=cv2.INTER_NEAREST)
+        mskdp_c = crop_resize_by_warp_affine(
+            msk_dp, center, scale, S, interpolation=cv2.INTER_NEAREST)
+        A = crop_affine_matrix(center, scale, S)
+        K_crop = (A @ K).astype(np.float32)
+
+        if self.add_noise and rec.img_type == "synt":
+            rgb_c = rgb_add_noise(rgb_c, self.rng)
+            if self.real_annos:
+                rgb_c, dpt_c = add_real_background(
+                    rgb_c, mask_c, dpt_c, mskdp_c, self.real_annos,
+                    self.rng, S, self.im_hw)
+            if self.rng.rand() > 0.8:
+                rgb_c = rgb_add_noise(rgb_c, self.rng)
+
+        dpt_filled = fill_depth_fast(dpt_c) if self.fill_depth else dpt_c
+
+        choose = np.nonzero((dpt_filled > 1e-6).ravel())[0]
+        if len(choose) < 200 and self.mode == "train":
+            return None
+        if len(choose) == 0:
+            choose = np.array([0])
+        if len(choose) > self.n_sample:           # linemod_pbr.py:485-496
+            keep = np.zeros(len(choose), int)
+            keep[:self.n_sample] = 1
+            self.rng.shuffle(keep)
+            choose = choose[keep.nonzero()[0]]
+        else:
+            choose = np.pad(choose, (0, self.n_sample - len(choose)),
+                            "wrap")
+        self.rng.shuffle(choose)
+        choose = choose.astype(np.int32)
+
+        # host backprojection of the raw crop depth (GT gen needs cld; the
+        # device recomputes the full xyz image from dpt_m at step time)
+        vv, uu = np.mgrid[:S, :S].astype(np.float32)
+        x = (uu - K_crop[0, 2]) * dpt_c / K_crop[0, 0]
+        y = (vv - K_crop[1, 2]) * dpt_c / K_crop[1, 1]
+        cld = np.stack([x, y, dpt_c], -1).reshape(-1, 3)[choose]
+        cld = np.nan_to_num(cld, posinf=0.0, neginf=0.0)
+
+        labels_pt = mask_c.ravel()[choose].astype(np.int32)
+        labels_pt[labels_pt == 255] = 1
+
+        labels, match_idx, visible_flag, valid = pose_gt_info(
+            cld, labels_pt, rec.pose, self.mesh_pts,
+            nn_dist_th=self.gt_match_th_m)
+        if self.mode == "train" and not valid:
+            return None
+
+        item = {
+            "rgb_u8": rgb_c.astype(np.uint8),
+            "dpt_m": dpt_c.astype(np.float32),
+            "dpt_filled": dpt_filled.astype(np.float32),
+            "K_crop": K_crop,
+            "choose": choose,
+            "labels": labels.astype(np.int32),
+            "origin_labels": labels_pt,
+            "match_idx": match_idx.astype(np.int32),
+            "visible_flag": visible_flag,
+            "RT": rec.pose.astype(np.float32),
+            "K": K.astype(np.float32),
+        }
+        if self.mode == "test":
+            item["cls_id"] = np.int32(rec.obj_id)
+            item["det"] = np.int32(det)
+            item["file_name"] = rec.file_name
+        return item

@@ -1,0 +1,115 @@
+"""Prefetching batch loader (host side).
+
+Replaces torch.utils.data.DataLoader + DistributedSampler
+(train_lm.py:399-408): a thread pool decodes/crops samples concurrently
+while the accelerator runs the previous step, with a bounded prefetch
+queue.  Threads (not processes) suffice because the per-sample work is
+dominated by PIL/cv2/scipy calls that release the GIL; the optional C++
+decode path (gdm_tpu.native) drops the GIL entirely.
+
+Sharding: `shard(rank, world)` gives each data-parallel host an
+interleaved slice of the epoch permutation — the jax-native replacement
+for DistributedSampler (SURVEY.md section 2d).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def collate(samples: list[dict]) -> tuple[dict, list[dict]]:
+    """Stack numeric fields; collect non-array fields into a meta list."""
+    batch, meta = {}, [{} for _ in samples]
+    for k, v in samples[0].items():
+        if isinstance(v, (np.ndarray, np.integer, np.floating, int,
+                          float, bool)):
+            batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+        else:
+            for i, s in enumerate(samples):
+                meta[i][k] = s[k]
+    return batch, meta
+
+
+class DataLoader:
+    """Iterate a dataset in shuffled, sharded, prefetched batches.
+
+    Args:
+      dataset: indexable with __len__/__getitem__ returning dicts.
+      batch_size: global per-host batch size.
+      shuffle: reshuffle each epoch (seeded; call set_epoch like the
+        reference's DistributedSampler, train_lm.py:259).
+      drop_last: drop the trailing partial batch.
+      num_workers: decode threads.
+      prefetch: max batches resident in the queue.
+      rank/world: this host's shard of the sample stream.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 8,
+                 prefetch: int = 4, seed: int = 0, rank: int = 0,
+                 world: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.rank, self.world = rank, world
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.rank::self.world]
+
+    def __len__(self):
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last else -(
+            -n // self.batch_size)
+
+    def __iter__(self):
+        idxs = self._epoch_indices()
+        n_batches = len(self)
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    chunk = idxs[b * self.batch_size:
+                                 (b + 1) * self.batch_size]
+                    try:
+                        samples = list(pool.map(
+                            self.dataset.__getitem__, chunk))
+                        out_q.put(collate(samples))
+                    except Exception as e:          # surface in consumer
+                        out_q.put(e)
+                        return
+            out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -70,6 +70,61 @@ def build_pyramid(cld: jax.Array, xyz_img: jax.Array, knn_chunk: int = 512):
     return inputs
 
 
+@functools.partial(jax.jit, static_argnames=("fill_depth",))
+def finalize_batch(batch: dict, fill_depth: bool = False) -> dict:
+    """Device-side per-batch preprocessing for loader output.
+
+    Consumes the compact host arrays produced by data.dataset.PoseDataset
+    (uint8 rgb + raw/filled depth planes + choose) and computes everything
+    the reference's Dataset.__getitem__ did on CPU per sample
+    (linemod_pbr.py:453-512): colour normalisation, backprojection,
+    surface normals (normalSpeed equivalent — YCBV computes them on the
+    FILLED crop, ycbv_pbr.py:483-486), and the cld_rgb_nrm gather.
+
+    Args:
+      batch: dict with rgb_u8 [B,S,S,3], dpt_m [B,S,S],
+        dpt_filled [B,S,S], K_crop [B,3,3], choose [B,N] (+ GT keys
+        passed through untouched).
+      fill_depth: whether dpt_filled differs from dpt_m (ycbv).
+
+    Returns dict with rgb [B,S,S,3] f32, cld_rgb_nrm [B,N,9],
+    xyz_img [B,S,S,3], choose, and any GT keys present in `batch`.
+    """
+    from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
+    from gdm_tpu.ops.backproject import depth_to_xyz
+    from gdm_tpu.ops.normals import depth_normals
+
+    rgb = (batch["rgb_u8"].astype(jnp.float32) / 255.0
+           - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    dpt = batch["dpt_m"]
+    dpt_n = batch["dpt_filled"] if fill_depth else dpt
+
+    xyz_img = jax.vmap(depth_to_xyz)(dpt, batch["K_crop"])
+    xyz_img = jnp.nan_to_num(xyz_img, posinf=0.0, neginf=0.0)
+    nrm_img = jax.vmap(
+        lambda d, k: depth_normals(d * 1000.0, k)
+    )(dpt_n, batch["K_crop"])
+
+    def gather(img, idx):
+        return img.reshape(-1, img.shape[-1])[idx]
+
+    choose = batch["choose"]
+    cld = jax.vmap(gather)(xyz_img, choose)
+    rgb_pt = jax.vmap(gather)(rgb, choose)
+    nrm_pt = jax.vmap(gather)(nrm_img, choose)
+    out = {
+        "rgb": rgb,
+        "cld_rgb_nrm": jnp.concatenate([cld, rgb_pt, nrm_pt], axis=-1),
+        "xyz_img": xyz_img,
+        "choose": choose,
+    }
+    for k in ("labels", "origin_labels", "match_idx", "visible_flag",
+              "RT", "cls_id", "det"):
+        if k in batch:
+            out[k] = batch[k]
+    return out
+
+
 def assemble_inputs(
     rgb: jax.Array,
     cld_rgb_nrm: jax.Array,

@@ -1,0 +1,200 @@
+"""PLY mesh IO + point-cloud normalisation (host side).
+
+Reference: utils/ply.py (load_ply/read_ply/write_ply, normalize_color
+:502-509, normalize_pts :511-517) and the fps-keypoint mesh loader at
+datasets/lm/linemod_pbr.py:89-97.  Re-written from the PLY spec: supports
+ascii and binary_little_endian, vertex properties only (faces are parsed
+but ignored — the matching pipeline consumes vertices).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path: str) -> dict:
+    """Parse a PLY file into {'pts', 'colors'?, 'normals'?, 'faces'?}.
+
+    pts are returned as float64 [n, 3] in the file's units (BOP models are
+    millimetres); colors as uint8 [n, 3]; normals float [n, 3].
+    """
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(prop_name, dtype) | list-prop])
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if line.startswith("comment"):
+                continue
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, count = line.split()
+                elements.append((name, int(count), []))
+            elif line.startswith("property"):
+                parts = line.split()
+                if parts[1] == "list":
+                    elements[-1][2].append(
+                        ("list", parts[2], parts[3], parts[4]))
+                else:
+                    elements[-1][2].append((parts[2], parts[1]))
+            elif line == "end_header":
+                break
+            elif line == "":
+                raise ValueError(f"{path}: truncated header")
+        out = {}
+        for name, count, props in elements:
+            if fmt == "ascii":
+                data = _read_ascii_element(f, count, props)
+            else:
+                endian = "<" if "little" in fmt else ">"
+                data = _read_binary_element(f, count, props, endian)
+            out[name] = data
+
+    vert = out.get("vertex", {})
+    res = {}
+    if all(k in vert for k in "xyz"):
+        res["pts"] = np.stack([vert["x"], vert["y"], vert["z"]],
+                              axis=1).astype(np.float64)
+    if all(k in vert for k in ("red", "green", "blue")):
+        res["colors"] = np.stack(
+            [vert["red"], vert["green"], vert["blue"]], axis=1)
+    if all(k in vert for k in ("nx", "ny", "nz")):
+        res["normals"] = np.stack([vert["nx"], vert["ny"], vert["nz"]],
+                                  axis=1).astype(np.float64)
+    if "face" in out and "_lists" in out["face"]:
+        res["faces"] = out["face"]["_lists"]
+    return res
+
+
+def _read_ascii_element(f, count, props):
+    cols = {p[0]: [] for p in props if p[0] != "list"}
+    lists = []
+    for _ in range(count):
+        vals = f.readline().split()
+        if props and props[0][0] == "list":
+            n = int(vals[0])
+            lists.append([int(v) for v in vals[1:1 + n]])
+        else:
+            for (pname, _), v in zip(props, vals):
+                cols[pname].append(float(v))
+    out = {k: np.asarray(v) for k, v in cols.items()}
+    if lists:
+        out["_lists"] = lists
+    return out
+
+
+def _read_binary_element(f, count, props, endian):
+    if props and props[0][0] == "list":
+        cnt_dt = np.dtype(endian + _PLY_DTYPES[props[0][1]])
+        val_dt = np.dtype(endian + _PLY_DTYPES[props[0][2]])
+        lists = []
+        for _ in range(count):
+            n = int(np.frombuffer(f.read(cnt_dt.itemsize), cnt_dt)[0])
+            lists.append(np.frombuffer(
+                f.read(val_dt.itemsize * n), val_dt).tolist())
+        return {"_lists": lists}
+    dt = np.dtype([(p[0], endian + _PLY_DTYPES[p[1]]) for p in props])
+    arr = np.frombuffer(f.read(dt.itemsize * count), dt)
+    return {p[0]: arr[p[0]] for p in props}
+
+
+def write_ply(path: str, pts: np.ndarray, colors: np.ndarray | None = None,
+              normals: np.ndarray | None = None) -> None:
+    """Minimal binary_little_endian vertex-only writer."""
+    n = len(pts)
+    props = [("x", "f4"), ("y", "f4"), ("z", "f4")]
+    if normals is not None:
+        props += [("nx", "f4"), ("ny", "f4"), ("nz", "f4")]
+    if colors is not None:
+        props += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [
+        "property "
+        + {"f4": "float", "u1": "uchar"}[d] + f" {nm}" for nm, d in props]
+    header.append("end_header")
+    rec = np.empty(n, np.dtype([(nm, "<" + d) for nm, d in props]))
+    rec["x"], rec["y"], rec["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+    if normals is not None:
+        rec["nx"], rec["ny"], rec["nz"] = (normals[:, i] for i in range(3))
+    if colors is not None:
+        rec["red"], rec["green"], rec["blue"] = (
+            colors[:, i].astype(np.uint8) for i in range(3))
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(rec.tobytes())
+
+
+def normalize_color(rgb: np.ndarray) -> np.ndarray:
+    """uint8 [h, w, 3] -> ImageNet-normalised float32 (utils/ply.py:502-509)."""
+    return ((rgb.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+            / IMAGENET_STD).astype(np.float32)
+
+
+def normalize_pts(pts: np.ndarray) -> np.ndarray:
+    """Centre + unit-sphere scale (utils/ply.py:511-517)."""
+    centred = pts - pts.mean(axis=0, keepdims=True)
+    scale = np.max(np.linalg.norm(centred, axis=1))
+    return centred / max(scale, 1e-12)
+
+
+def load_fps_mesh(kps_dir: str, obj_id: int, n_points: int) -> np.ndarray:
+    """Load ``obj_{id:06d}_fps.npy`` -> [n_points, 9] (xyz m | rgb | nrm).
+
+    Mirrors datasets/lm/linemod_pbr.py:89-97 (mm -> m on xyz only).
+    """
+    data = np.load(osp.join(kps_dir, f"obj_{obj_id:06d}_fps.npy"))
+    pts = data[:n_points, :3].astype(np.float32) / 1000.0
+    rgb = data[:n_points, 3:6].astype(np.float32)
+    nrm = data[:n_points, 6:9].astype(np.float32)
+    return np.concatenate([pts, rgb, nrm], axis=1)
+
+
+def mesh_fps_from_ply(ply_path: str, n_points: int,
+                      seed: int = 0) -> np.ndarray:
+    """Build the [n, 9] fps-style array straight from a BOP model PLY when
+    no precomputed ``*_fps.npy`` exists: farthest-point-sample the vertices
+    (deterministic given seed).  Units: BOP PLYs are mm; output xyz in mm
+    to match the .npy layout (callers divide by 1000 like load_fps_mesh).
+    """
+    d = load_ply(ply_path)
+    pts = d["pts"].astype(np.float32)
+    colors = d.get("colors")
+    normals = d.get("normals")
+    if colors is None:
+        colors = np.full_like(pts, 127.0)
+    if normals is None:
+        normals = normalize_pts(pts)
+    n = len(pts)
+    if n <= n_points:
+        idx = np.pad(np.arange(n), (0, n_points - n), "wrap")
+    else:
+        rng = np.random.RandomState(seed)
+        idx = np.zeros(n_points, np.int64)
+        idx[0] = rng.randint(n)
+        d2 = np.sum((pts - pts[idx[0]]) ** 2, axis=1)
+        for i in range(1, n_points):
+            idx[i] = int(np.argmax(d2))
+            d2 = np.minimum(
+                d2, np.sum((pts - pts[idx[i]]) ** 2, axis=1))
+    return np.concatenate(
+        [pts[idx], colors[idx].astype(np.float32), normals[idx]],
+        axis=1).astype(np.float32)
