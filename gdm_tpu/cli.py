@@ -1,0 +1,363 @@
+"""Command-line driver: per-object training and full-dataset evaluation.
+
+Replaces reference train_lm.py / train_ycb.py / test_lmo.sh:
+
+    python -m gdm_tpu.cli train --dataset lmo --cls-id 1 \
+        --data-root datasets/lm/linemod --ckpt-root train_log/lm
+    python -m gdm_tpu.cli eval --dataset lmo --data-root ... \
+        --ckpt-root train_log/lm [--refine icp] [--cls-id 1]
+
+Deviations from the reference (deliberate, documented):
+  * one process drives all local devices — data parallelism comes from
+    NamedSharding over the device mesh, not torch.distributed.launch
+    (train_lm.py:376-388); multi-host runs call jax.distributed.initialize
+    when --multihost is set;
+  * evaluation runs per object with that object's jitted graph instead of
+    routing batch elements through a per-object model dict one element at
+    a time (train_lm.py:298-314) — same predictions, no bs=1 dispatches;
+  * pose fitting happens on device inside the eval jit (evaluator.py's
+    host ThreadPool + numpy SVD, :274-305, disappears).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import time
+
+import numpy as np
+
+
+def _build_object_setup(cfg, refd, cls_id, data_root):
+    """Mesh graph + diameter + names for one object."""
+    from gdm_tpu.data.ply import load_fps_mesh
+    from gdm_tpu.models.geomatch import MeshArrays
+    from gdm_tpu.models.spline_mesh import build_mesh_graph
+    from gdm_tpu.refdata._base import symmetry_transform
+
+    obj_name = refd.id2obj[cls_id]
+    diameter_m = refd.diameters_mm_by_id[cls_id] / 1000.0
+    mesh_fps = load_fps_mesh(
+        osp.join(data_root, "kps"), cls_id, cfg.data.model_pt_num)
+
+    sym = None
+    if obj_name in cfg.data.sym_objs:
+        try:
+            info = refd.load_models_info(osp.join(data_root, "models"))
+            sym = symmetry_transform(info[str(cls_id)])
+        except FileNotFoundError:
+            sym = None
+    graph = build_mesh_graph(mesh_fps, cfg.data.model_pt_num,
+                             sym_transform=sym)
+    return obj_name, diameter_m, mesh_fps, graph, MeshArrays.from_graph(
+        graph)
+
+
+def _device_batch(batch, mesh_dev, fill_depth):
+    """Host batch -> sharded device arrays -> finalized model inputs."""
+    import jax.numpy as jnp
+
+    from gdm_tpu.data.pipeline import finalize_batch
+    from gdm_tpu.parallel import shard_batch
+
+    keys = ("rgb_u8", "dpt_m", "dpt_filled", "K_crop", "choose", "labels",
+            "origin_labels", "match_idx", "visible_flag", "RT", "det")
+    dev = {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+    dev = shard_batch(dev, mesh_dev)
+    return finalize_batch(dev, fill_depth=fill_depth)
+
+
+def train(args):
+    import jax
+
+    from gdm_tpu.configs.base import get_config
+    from gdm_tpu.data.dataset import PoseDataset
+    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.models import GeoMatch
+    from gdm_tpu.parallel import make_mesh, replicate
+    from gdm_tpu.refdata import get as get_refdata
+    from gdm_tpu.train import (
+        bn_momentum_schedule,
+        create_train_state,
+        cyclic_lr,
+        load_checkpoint,
+        make_train_step,
+        save_checkpoint,
+    )
+    from gdm_tpu.train.schedules import clr_step_size
+    from gdm_tpu.utils.logging import get_logger
+
+    if args.multihost:
+        jax.distributed.initialize()
+    log = get_logger("train")
+    cfg = get_config(args.dataset)
+    refd = get_refdata(args.dataset)
+    sol = cfg.solver
+    epochs = args.epochs or sol.total_epochs
+    batch_size = args.batch_size or sol.train_batch_size
+
+    obj_name, diameter_m, _, _, mesh_arr = _build_object_setup(
+        cfg, refd, args.cls_id, args.data_root)
+    log.info("object %s (id %d), diameter %.3f m",
+             obj_name, args.cls_id, diameter_m)
+
+    ds = PoseDataset(cfg, args.cls_id, "train", diameter_m=diameter_m,
+                     data_root=args.data_root,
+                     rng=np.random.RandomState(args.seed
+                                               + jax.process_index()))
+    dl = DataLoader(ds, batch_size, shuffle=True, drop_last=True,
+                    num_workers=args.num_workers, seed=args.seed,
+                    rank=jax.process_index(), world=jax.process_count())
+    log.info("%d samples, %d steps/epoch", len(ds), len(dl))
+
+    dev_mesh = make_mesh()
+    n_dev = len(jax.devices())
+    if batch_size % n_dev:
+        raise SystemExit(
+            f"batch {batch_size} not divisible by {n_dev} devices")
+
+    model = GeoMatch(
+        feat_dim=cfg.model.feat_dim,
+        positive_r=cfg.model.neighbor_dis_th * diameter_m)
+    lr = cyclic_lr(sol.base_lr, sol.max_lr,
+                   clr_step_size(epochs, len(ds), batch_size,
+                                 sol.clr_div))
+    bnm = bn_momentum_schedule(sol.bn_momentum, sol.bn_decay,
+                               sol.bn_decay_step, batch_size,
+                               sol.bn_momentum_clip)
+
+    batch0, _ = next(iter(dl))
+    fin0 = _device_batch(batch0, dev_mesh, cfg.data.fill_depth)
+    sample_inputs = assemble_inputs(
+        fin0["rgb"], fin0["cld_rgb_nrm"], fin0["choose"], fin0["xyz_img"],
+        labels=fin0["labels"], match_idx=fin0["match_idx"],
+        visible_flag=fin0["visible_flag"], RT=fin0["RT"],
+        knn_chunk=args.knn_chunk)
+    mesh_arr = replicate(mesh_arr, dev_mesh)
+    state = create_train_state(
+        model, jax.random.PRNGKey(args.seed), sample_inputs, mesh_arr,
+        lr, weight_decay=sol.weight_decay)
+    state = replicate(state, dev_mesh)
+
+    ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
+    start_epoch = 0
+    if args.resume:
+        state, ep = load_checkpoint(state, ckpt_dir)
+        if ep is not None:
+            start_epoch = ep + 1
+            log.info("resumed from epoch %d", ep)
+
+    train_step = make_train_step(bnm, knn_chunk=args.knn_chunk)
+    rng = jax.random.PRNGKey(args.seed + 7)
+
+    for epoch in range(start_epoch, epochs):
+        dl.set_epoch(epoch)
+        t0 = time.perf_counter()
+        for it, (batch, _) in enumerate(dl):
+            fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
+            state, metrics = train_step(state, fin, mesh_arr, rng)
+            if it % 100 == 0:
+                m = jax.device_get(metrics)
+                log.info(
+                    "epoch %d it %d loss %.4f (seg %.4f match %.4f) "
+                    "%.2f s", epoch, it, m["loss"], m["seg_loss"],
+                    m["match_loss"], time.perf_counter() - t0)
+                t0 = time.perf_counter()
+        if jax.process_index() == 0 and (
+                (epoch + 1) % sol.checkpoint_every_epochs == 0
+                or epoch + 1 == epochs):
+            path = save_checkpoint(state, ckpt_dir, epoch)
+            log.info("checkpoint -> %s", path)
+    return state
+
+
+def evaluate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.configs.base import get_config
+    from gdm_tpu.data.dataset import PoseDataset
+    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.data.ply import load_ply
+    from gdm_tpu.eval.evaluator import Evaluator
+    from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
+    from gdm_tpu.models import GeoMatch
+    from gdm_tpu.parallel import all_gather_host, make_mesh, replicate
+    from gdm_tpu.refdata import get as get_refdata
+    from gdm_tpu.refdata._base import all_symmetry_rotations
+    from gdm_tpu.train import create_train_state, load_checkpoint
+    from gdm_tpu.train.import_torch import load_torch_reference_checkpoint
+    from gdm_tpu.utils.logging import get_logger
+
+    log = get_logger("eval")
+    cfg = get_config(args.dataset)
+    refd = get_refdata(args.dataset)
+    batch_size = args.batch_size or cfg.solver.val_batch_size
+    dev_mesh = make_mesh()
+    cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
+
+    obj_names, diameters, models_pts, sym_rots = [], {}, {}, {}
+    try:
+        models_info = refd.load_models_info(
+            osp.join(args.data_root, "models"))
+    except FileNotFoundError:
+        models_info = {}
+
+    evaluator = None
+    gts = {}
+    for cls_id in cls_ids:
+        obj_name = refd.id2obj[cls_id]
+        obj_names.append(obj_name)
+        diameters[obj_name] = refd.diameters_mm_by_id[cls_id] / 1000.0
+        eval_ply = osp.join(args.data_root, "models_eval",
+                            f"obj_{cls_id:06d}.ply")
+        _, _, mesh_fps, graph, mesh_arr = _build_object_setup(
+            cfg, refd, cls_id, args.data_root)
+        if osp.exists(eval_ply):
+            models_pts[obj_name] = load_ply(eval_ply)["pts"] / 1000.0
+        else:
+            models_pts[obj_name] = mesh_fps[:, :3]
+        if str(cls_id) in models_info and obj_name in cfg.data.sym_objs:
+            sym_rots[obj_name] = all_symmetry_rotations(
+                models_info[str(cls_id)])
+
+        ds = PoseDataset(cfg, cls_id, "test",
+                         diameter_m=diameters[obj_name],
+                         data_root=args.data_root)
+        if len(ds) == 0:
+            log.warning("no test annotations for %s", obj_name)
+            continue
+        gts[obj_name] = {
+            r.file_name: {"R": r.pose[:, :3], "t": r.pose[:, 3],
+                          "K": r.cam_K} for r in ds.annos}
+        if evaluator is None:
+            evaluator = Evaluator(
+                args.dataset, [refd.id2obj[c] for c in cls_ids],
+                diameters, models_pts, sym_objs=cfg.data.sym_objs,
+                sym_rots=sym_rots, output_dir=args.output_dir,
+                obj2id=refd.obj2id)
+
+        model = GeoMatch(
+            feat_dim=cfg.model.feat_dim,
+            positive_r=cfg.model.neighbor_dis_th * diameters[obj_name])
+        dl = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
+                        num_workers=args.num_workers,
+                        rank=jax.process_index(),
+                        world=jax.process_count())
+        mesh_arr = replicate(mesh_arr, dev_mesh)
+
+        state = None
+        ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
+
+        @jax.jit
+        def infer(state, fin, mesh_arr):
+            inputs = assemble_inputs(
+                fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+                fin["xyz_img"], knn_chunk=args.knn_chunk)
+            out = state.apply_fn(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                inputs, mesh_arr, train=False)
+            poses = fit_poses_from_outputs(
+                fin["cld_rgb_nrm"][..., :3], out, mesh_arr.xyz,
+                det=fin.get("det"), refine=args.refine)
+            return poses
+
+        n_done = 0
+        for batch, meta in dl:
+            # pad the trailing partial batch to the compiled size
+            n_real = batch["rgb_u8"].shape[0]
+            if n_real < batch_size:
+                pad = batch_size - n_real
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, 0)]) for k, v in
+                    batch.items()}
+            fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
+            if state is None:
+                # init runs in train mode (awl params), so the sample
+                # inputs need the GT keys the loss consumes
+                sample_inputs = assemble_inputs(
+                    fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+                    fin["xyz_img"], labels=fin["labels"],
+                    match_idx=fin["match_idx"],
+                    visible_flag=fin["visible_flag"], RT=fin["RT"],
+                    knn_chunk=args.knn_chunk)
+                state = create_train_state(
+                    model, jax.random.PRNGKey(0), sample_inputs,
+                    mesh_arr, lambda _: 1e-4)
+                if args.torch_checkpoint:
+                    state = load_torch_reference_checkpoint(
+                        state, osp.join(args.torch_checkpoint, obj_name))
+                else:
+                    state, ep = load_checkpoint(state, ckpt_dir)
+                    if ep is None:
+                        log.warning("no checkpoint for %s in %s — "
+                                    "evaluating untrained weights",
+                                    obj_name, ckpt_dir)
+                state = replicate(state, dev_mesh)
+            t0 = time.perf_counter()
+            poses = jax.device_get(infer(state, fin, mesh_arr))
+            dt = (time.perf_counter() - t0) / n_real
+            for i in range(n_real):
+                evaluator.add_prediction(
+                    obj_name, meta[i]["file_name"], poses[i][:, :3],
+                    poses[i][:, 3], time=dt,
+                    det=int(batch["det"][i]))
+            n_done += n_real
+        log.info("%s: %d frames", obj_name, n_done)
+
+    if evaluator is None:
+        raise SystemExit("nothing evaluated")
+    if jax.process_count() > 1:
+        evaluator.gather(all_gather_host)
+    if jax.process_index() == 0:
+        results = evaluator.evaluate(gts)
+        print(results["table"])
+        return results
+    return None
+
+
+def build_parser():
+    p = argparse.ArgumentParser("gdm_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--dataset", required=True,
+                        choices=["lmo", "lmfull", "lm_full", "ycbv"])
+        sp.add_argument("--data-root", required=True)
+        sp.add_argument("--ckpt-root", default="train_log")
+        sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--num-workers", type=int, default=8)
+        sp.add_argument("--knn-chunk", type=int, default=512)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--multihost", action="store_true")
+
+    t = sub.add_parser("train", help="train one object's model")
+    common(t)
+    t.add_argument("--cls-id", type=int, required=True)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--resume", action="store_true")
+
+    e = sub.add_parser("eval", help="evaluate checkpoints on the test set")
+    common(e)
+    e.add_argument("--cls-id", type=int, default=None,
+                   help="single object (default: all in config)")
+    e.add_argument("--refine", choices=["icp", "meanshift"], default=None)
+    e.add_argument("--output-dir", default="output")
+    e.add_argument("--torch-checkpoint", default=None,
+                   help="directory of reference .pth.tar checkpoints to "
+                        "import instead of native orbax checkpoints")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        return train(args)
+    return evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,12 @@ class PoseDataset:
                 root, subset, d.obj_ids, mode, im_hw=self.im_hw,
                 selected_id=cls_id if mode == "train" else None,
                 detections=dets)
+            if mode == "test":
+                # per-object evaluation: this dataset's GT-gen mesh is
+                # cls_id's, so keep only its instances (the reference test
+                # set mixes objects and computes garbage GT info for the
+                # non-selected ones, train_lm.py:320-323)
+                recs = [r for r in recs if r.obj_id == self.cls_id]
             self.annos += recs
             if "pbr" in subset:
                 self.pbr_annos += recs

@@ -1,0 +1,74 @@
+"""Elapsed-time logger (reference utils/logging.py:1-23) + jax profiler
+trace helper (the reference has no structured profiling — SURVEY.md
+section 5; wall-clock prints only, train_lm.py:275-283)."""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+
+_START = time.time()
+
+
+class ElapsedFormatter(logging.Formatter):
+    def format(self, record):
+        elapsed = time.time() - _START
+        h, rem = divmod(int(elapsed), 3600)
+        m, s = divmod(rem, 60)
+        record.elapsed = f"{h:02d}:{m:02d}:{s:02d}"
+        return super().format(record)
+
+
+def get_logger(name: str = "gdm_tpu", level=logging.INFO) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(ElapsedFormatter(
+            "[%(elapsed)s %(name)s %(levelname)s] %(message)s"))
+        logger.addHandler(h)
+        logger.setLevel(level)
+        logger.propagate = False
+    return logger
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str | None):
+    """jax.profiler trace scope (no-op when log_dir is None).
+
+    Usage: ``with profiler_trace('/tmp/tb'): run_steps()`` then inspect
+    with TensorBoard / xprof.
+    """
+    if log_dir is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling per-phase wall-clock timer for train/eval loops."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] = self.totals.get(name, 0.0) + (
+                time.perf_counter() - t0)
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> str:
+        return " ".join(
+            f"{k}={self.totals[k] / max(self.counts[k], 1) * 1e3:.1f}ms"
+            for k in self.totals)
