@@ -12,8 +12,8 @@ dependent); deterministic given its inputs.
 from __future__ import annotations
 
 import numpy as np
-from scipy.spatial import cKDTree
 
+from gdm_tpu import native
 from gdm_tpu.ops.visibility import visible_points
 
 
@@ -54,7 +54,8 @@ def pose_gt_info(
     visible_flag[vis_idx] = 1
     vis_proj = mesh_pts[vis_idx] @ R.T + t.T
 
-    dist, nn = cKDTree(vis_proj).query(obj_cld, k=1)
+    nn, dist = native.knn(vis_proj, obj_cld, 1, return_dist=True)
+    nn, dist = nn[:, 0], dist[:, 0]
     matched = vis_idx[nn]
     bad = dist > nn_dist_th
     if bad.all():

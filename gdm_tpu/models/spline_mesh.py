@@ -74,13 +74,11 @@ def build_mesh_graph(
     rgb_n = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     node_x = np.concatenate([rgb_n, pts, nrm], axis=1).astype(np.float32)
 
-    # host-side KD-tree: graph construction happens once per object at
-    # setup; keep it off the accelerator (eager dispatch is expensive)
-    from scipy.spatial import cKDTree
+    # host-side KNN (C++ KD-tree, gdm_tpu.native): graph construction
+    # happens once per object at setup; keep it off the accelerator
+    from gdm_tpu import native
 
-    tree = cKDTree(pts)
-    _, neigh = tree.query(pts, k=k + 1)
-    neigh = neigh[:, 1:].astype(np.int32)                 # drop self-loop
+    neigh = native.knn(pts, pts, k + 1)[:, 1:].astype(np.int32)
     pseudo = cartesian_pseudo(pts, neigh)
     basis, slot = spline_basis_np(pseudo, kernel_size=kernel_size)
 
@@ -88,8 +86,7 @@ def build_mesh_graph(
     if sym_transform is not None:
         R, t_mm = sym_transform
         sym_pts = pts @ np.asarray(R).T + np.asarray(t_mm).reshape(1, 3) / 1000.0
-        _, sym_idx = cKDTree(pts).query(sym_pts, k=1)
-        sym_idx = sym_idx.astype(np.int32)
+        sym_idx = native.knn(pts, sym_pts, 1)[:, 0].astype(np.int32)
 
     return MeshGraph(
         xyz=pts, node_x=node_x, neigh_idx=np.asarray(neigh),

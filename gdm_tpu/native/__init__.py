@@ -1,0 +1,173 @@
+"""C++ host-side kernels via ctypes (see native/gdm_native.cpp).
+
+Replaces the reference's vendored native extensions on the host paths:
+nanoflann KNN (models/RandLA/utils/nearest_neighbors) used by GT
+generation / mesh-graph build, and the voxel-grid subsampler
+(cpp_wrappers/cpp_subsampling).  The library is compiled on first use
+with g++ (-O3 -fopenmp) and cached next to the source; every entry point
+has a scipy/numpy fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+                "native", "gdm_native.cpp")
+_LIB_PATH = osp.join(osp.dirname(_SRC), "libgdm_native.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> str | None:
+    if osp.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= \
+            os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+           "-std=c++17", _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB_PATH
+    except (subprocess.SubprocessError, FileNotFoundError):
+        try:  # retry without -march=native / openmp (portable fallback)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                 "-o", _LIB_PATH],
+                check=True, capture_output=True, timeout=120)
+            return _LIB_PATH
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return None
+
+
+def _get_lib():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = _build()
+        if path is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(path)
+        i32 = ctypes.c_int32
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        lib.gdm_knn.argtypes = [fp, i32, fp, i32, i32, ip, fp]
+        lib.gdm_knn_batch.argtypes = [fp, i32, i32, fp, i32, i32, ip]
+        lib.gdm_grid_subsample.argtypes = [fp, i32, fp, i32,
+                                           ctypes.c_float, fp, fp]
+        lib.gdm_grid_subsample.restype = i32
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _as_f32(a):
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def knn(support: np.ndarray, query: np.ndarray, k: int,
+        return_dist: bool = False):
+    """Exact k-NN on the host: [n,3] support, [m,3] query -> idx [m,k]
+    (ascending distance).  nanoflann knn_batch parity for b=1
+    (models/RandLA/helper_tool.py:161-171)."""
+    lib = _get_lib()
+    support = _as_f32(support)
+    query = _as_f32(query)
+    m, k = query.shape[0], int(k)
+    if lib is None:
+        from scipy.spatial import cKDTree
+
+        dist, idx = cKDTree(support).query(query, k=min(k, len(support)))
+        idx = np.atleast_2d(np.asarray(idx, np.int32).reshape(m, -1))
+        dist = np.atleast_2d(np.asarray(dist, np.float32).reshape(m, -1))
+        if idx.shape[1] < k:   # wrap-pad like the C path
+            reps = k - idx.shape[1]
+            idx = np.concatenate(
+                [idx, np.repeat(idx[:, -1:], reps, 1)], axis=1)
+            dist = np.concatenate(
+                [dist, np.repeat(dist[:, -1:], reps, 1)], axis=1)
+        return (idx, dist) if return_dist else idx
+    idx = np.empty((m, k), np.int32)
+    dist = np.empty((m, k), np.float32) if return_dist else None
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.gdm_knn(
+        support.ctypes.data_as(fp), support.shape[0],
+        query.ctypes.data_as(fp), m, k,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dist.ctypes.data_as(fp) if return_dist else
+        ctypes.cast(None, fp))
+    return (idx, dist) if return_dist else idx
+
+
+def knn_batch(support: np.ndarray, query: np.ndarray, k: int) -> np.ndarray:
+    """[b,n,3], [b,m,3] -> [b,m,k] (reference knn_batch contract)."""
+    lib = _get_lib()
+    support = _as_f32(support)
+    query = _as_f32(query)
+    b, n, _ = support.shape
+    m = query.shape[1]
+    if lib is None:
+        return np.stack([knn(support[i], query[i], k) for i in range(b)])
+    idx = np.empty((b, m, k), np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.gdm_knn_batch(
+        support.ctypes.data_as(fp), b, n, query.ctypes.data_as(fp), m,
+        int(k), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return idx
+
+
+def grid_subsample(pts: np.ndarray, dl: float,
+                   features: np.ndarray | None = None):
+    """Voxel-grid barycenter subsampling (DP.grid_sub_sampling parity,
+    models/RandLA/helper_tool.py:199-219).  Returns (sub_pts[, sub_feat])."""
+    lib = _get_lib()
+    pts = _as_f32(pts)
+    fdim = 0 if features is None else int(features.shape[1])
+    if lib is None:
+        mn = pts.min(0)
+        key = np.floor((pts - mn) / dl).astype(np.int64)
+        _, inv = np.unique(
+            key[:, 0] * 73856093 ^ key[:, 1] * 19349669
+            ^ key[:, 2] * 83492791,
+            return_inverse=True)
+        n_out = int(inv.max()) + 1
+        counts = np.bincount(inv, minlength=n_out)[:, None]
+        sub = np.zeros((n_out, 3), np.float64)
+        np.add.at(sub, inv, pts)
+        sub = (sub / counts).astype(np.float32)
+        if features is None:
+            return sub
+        f = np.zeros((n_out, fdim), np.float64)
+        np.add.at(f, inv, features)
+        return sub, (f / counts).astype(np.float32)
+    features_f = _as_f32(features) if features is not None else None
+    fp = ctypes.POINTER(ctypes.c_float)
+    fptr = features_f.ctypes.data_as(fp) if features_f is not None \
+        else ctypes.cast(None, fp)
+    n_out = lib.gdm_grid_subsample(
+        pts.ctypes.data_as(fp), pts.shape[0], fptr, fdim,
+        ctypes.c_float(dl), ctypes.cast(None, fp), ctypes.cast(None, fp))
+    out_pts = np.empty((n_out, 3), np.float32)
+    out_f = np.empty((n_out, fdim), np.float32) if features is not None \
+        else None
+    lib.gdm_grid_subsample(
+        pts.ctypes.data_as(fp), pts.shape[0], fptr, fdim,
+        ctypes.c_float(dl), out_pts.ctypes.data_as(fp),
+        out_f.ctypes.data_as(fp) if out_f is not None
+        else ctypes.cast(None, fp))
+    if features is None:
+        return out_pts
+    return out_pts, out_f

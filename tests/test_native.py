@@ -1,0 +1,84 @@
+"""C++ host kernel tests: exact-KNN vs scipy, grid subsampling invariants,
+and the graceful fallback path."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+from gdm_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    return native.available()
+
+
+class TestKnn:
+    def test_matches_scipy(self, lib_available):
+        from scipy.spatial import cKDTree
+
+        rng = np.random.RandomState(0)
+        support = rng.randn(500, 3).astype(np.float32)
+        query = rng.randn(200, 3).astype(np.float32)
+        for k in (1, 4, 16):
+            idx, dist = native.knn(support, query, k, return_dist=True)
+            d_ref, i_ref = cKDTree(support).query(query, k=k)
+            i_ref = np.asarray(i_ref).reshape(200, k)
+            d_ref = np.asarray(d_ref).reshape(200, k)
+            np.testing.assert_allclose(dist, d_ref, atol=1e-5)
+            # indices can differ at exact ties; distances decide
+            agree = (idx == i_ref).mean()
+            assert agree > 0.99
+
+    def test_k_exceeds_n(self):
+        rng = np.random.RandomState(1)
+        support = rng.randn(3, 3).astype(np.float32)
+        query = rng.randn(5, 3).astype(np.float32)
+        idx = native.knn(support, query, 8)
+        assert idx.shape == (5, 8)
+        assert (idx >= 0).all() and (idx < 3).all()
+
+    def test_batch(self):
+        rng = np.random.RandomState(2)
+        s = rng.randn(2, 100, 3).astype(np.float32)
+        q = rng.randn(2, 40, 3).astype(np.float32)
+        idx = native.knn_batch(s, q, 4)
+        assert idx.shape == (2, 40, 4)
+        for b in range(2):
+            np.testing.assert_array_equal(idx[b], native.knn(s[b], q[b], 4))
+
+    def test_self_query_returns_self_first(self):
+        rng = np.random.RandomState(3)
+        pts = rng.randn(100, 3).astype(np.float32)
+        idx = native.knn(pts, pts, 1)
+        np.testing.assert_array_equal(idx[:, 0], np.arange(100))
+
+
+class TestGridSubsample:
+    def test_single_voxel_barycenter(self):
+        pts = np.array([[0.0, 0, 0], [0.2, 0, 0], [0.1, 0.2, 0]],
+                       np.float32)
+        sub = native.grid_subsample(pts, dl=10.0)
+        assert sub.shape == (1, 3)
+        np.testing.assert_allclose(sub[0], pts.mean(0), atol=1e-6)
+
+    def test_grid_partitions(self):
+        rng = np.random.RandomState(0)
+        pts = rng.rand(1000, 3).astype(np.float32) * 4
+        sub = native.grid_subsample(pts, dl=1.0)
+        # at most 5^3 voxels; each barycenter inside the cloud bbox
+        assert 8 <= sub.shape[0] <= 125
+        assert (sub >= pts.min(0) - 1e-5).all()
+        assert (sub <= pts.max(0) + 1e-5).all()
+
+    def test_features_averaged(self):
+        pts = np.array([[0.0, 0, 0], [0.2, 0, 0]], np.float32)
+        feats = np.array([[1.0, 0.0], [3.0, 2.0]], np.float32)
+        sub, f = native.grid_subsample(pts, dl=10.0, features=feats)
+        np.testing.assert_allclose(f[0], [2.0, 1.0], atol=1e-6)
+
+
+class TestBuild:
+    def test_native_lib_builds_here(self):
+        """The environment has g++ — the fast path must be live."""
+        assert native.available()
