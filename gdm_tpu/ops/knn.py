@@ -43,8 +43,9 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512):
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
+def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512,
+        approx: bool = False):
     """Indices (into `support`) of the k nearest support points per query.
 
     Matches the contract of the reference ``DP.knn_search`` (sorted by
@@ -56,6 +57,12 @@ def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512):
       query:   [m, 3] query points.
       k:       number of neighbours.
       chunk:   query chunk size bounding peak memory at chunk*n floats.
+      approx:  use ``lax.approx_max_k`` (the TPU-native partial-reduction
+        top-k, ~7x faster than exact top-k at n=4096) with 0.95 recall.
+        Right for neighbour *aggregation* consumers (RandLA pooling,
+        fusion gathers) where a 17th-nearest standing in for the 16th is
+        immaterial; keep exact for metric paths.  k == 1 is always exact
+        (argmin — cheaper than any top-k).
 
     Returns:
       idx: [m, k] int32 indices into support.
@@ -70,7 +77,12 @@ def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512):
 
     def one_chunk(qc):
         d = pairwise_sqdist(qc, support)                  # [chunk, n]
-        _, idx = jax.lax.top_k(-d, k_eff)                 # ascending distance
+        if k_eff == 1:
+            idx = jnp.argmin(d, axis=-1)[:, None]
+        elif approx:
+            _, idx = jax.lax.approx_max_k(-d, k_eff)
+        else:
+            _, idx = jax.lax.top_k(-d, k_eff)             # ascending dist
         return idx.astype(jnp.int32)
 
     idx = jax.lax.map(one_chunk, q).reshape(-1, k_eff)[:m]
