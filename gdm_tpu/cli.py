@@ -53,6 +53,45 @@ def _build_object_setup(cfg, refd, cls_id, data_root):
         graph)
 
 
+def _make_model(cfg, diameter_m, mesh_fps, mesh_arr):
+    """(model, mesh_input, mesh_xyz, needs_pyramid) for the configured
+    backbone — 'randla_spline' (flagship) or 'dgcnn' (config 5)."""
+    import jax.numpy as jnp
+
+    if cfg.model.backbone == "dgcnn":
+        from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
+        from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
+
+        model = GeoMatchDGCNN(feat_dim=cfg.model.feat_dim)
+        pts = mesh_fps[:, :3]                    # metres (load_fps_mesh)
+        rgb_n = (mesh_fps[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        mesh_x = jnp.asarray(np.concatenate(
+            [pts, rgb_n, mesh_fps[:, 6:9]], axis=1).astype(np.float32))
+        return model, mesh_x, jnp.asarray(pts), False
+
+    from gdm_tpu.models import GeoMatch
+
+    model = GeoMatch(
+        feat_dim=cfg.model.feat_dim,
+        positive_r=cfg.model.neighbor_dis_th * diameter_m)
+    return model, mesh_arr, mesh_arr.xyz, True
+
+
+def _train_inputs(fin, knn_chunk, needs_pyramid):
+    """Model inputs for a finalized batch (train keys included)."""
+    from gdm_tpu.data.pipeline import assemble_inputs
+
+    if not needs_pyramid:
+        return {k: fin[k] for k in (
+            "cld_rgb_nrm", "labels", "origin_labels", "match_idx",
+            "visible_flag", "RT") if k in fin}
+    return assemble_inputs(
+        fin["rgb"], fin["cld_rgb_nrm"], fin["choose"], fin["xyz_img"],
+        labels=fin["labels"], match_idx=fin["match_idx"],
+        visible_flag=fin["visible_flag"], RT=fin["RT"],
+        knn_chunk=knn_chunk)
+
+
 def _device_batch(batch, mesh_dev, fill_depth):
     """Host batch -> sharded device arrays -> finalized model inputs."""
     import jax.numpy as jnp
@@ -73,8 +112,6 @@ def train(args):
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
     from gdm_tpu.data.loader import DataLoader
-    from gdm_tpu.data.pipeline import assemble_inputs
-    from gdm_tpu.models import GeoMatch
     from gdm_tpu.parallel import make_mesh, replicate
     from gdm_tpu.refdata import get as get_refdata
     from gdm_tpu.train import (
@@ -97,7 +134,7 @@ def train(args):
     epochs = args.epochs or sol.total_epochs
     batch_size = args.batch_size or sol.train_batch_size
 
-    obj_name, diameter_m, _, _, mesh_arr = _build_object_setup(
+    obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
         cfg, refd, args.cls_id, args.data_root)
     log.info("object %s (id %d), diameter %.3f m",
              obj_name, args.cls_id, diameter_m)
@@ -117,9 +154,8 @@ def train(args):
         raise SystemExit(
             f"batch {batch_size} not divisible by {n_dev} devices")
 
-    model = GeoMatch(
-        feat_dim=cfg.model.feat_dim,
-        positive_r=cfg.model.neighbor_dis_th * diameter_m)
+    model, mesh_input, _, needs_pyramid = _make_model(
+        cfg, diameter_m, mesh_fps, mesh_arr)
     lr = cyclic_lr(sol.base_lr, sol.max_lr,
                    clr_step_size(epochs, len(ds), batch_size,
                                  sol.clr_div))
@@ -129,14 +165,10 @@ def train(args):
 
     batch0, _ = next(iter(dl))
     fin0 = _device_batch(batch0, dev_mesh, cfg.data.fill_depth)
-    sample_inputs = assemble_inputs(
-        fin0["rgb"], fin0["cld_rgb_nrm"], fin0["choose"], fin0["xyz_img"],
-        labels=fin0["labels"], match_idx=fin0["match_idx"],
-        visible_flag=fin0["visible_flag"], RT=fin0["RT"],
-        knn_chunk=args.knn_chunk)
-    mesh_arr = replicate(mesh_arr, dev_mesh)
+    sample_inputs = _train_inputs(fin0, args.knn_chunk, needs_pyramid)
+    mesh_input = replicate(mesh_input, dev_mesh)
     state = create_train_state(
-        model, jax.random.PRNGKey(args.seed), sample_inputs, mesh_arr,
+        model, jax.random.PRNGKey(args.seed), sample_inputs, mesh_input,
         lr, weight_decay=sol.weight_decay)
     state = replicate(state, dev_mesh)
 
@@ -148,7 +180,10 @@ def train(args):
             start_epoch = ep + 1
             log.info("resumed from epoch %d", ep)
 
-    train_step = make_train_step(bnm, knn_chunk=args.knn_chunk)
+    # the input pyramid is built in its own jit (staged programs schedule
+    # better than one monolithic program on TPU; gradients don't flow
+    # through neighbour indices)
+    train_step = make_train_step(bnm, build_pyramid_in_step=False)
     rng = jax.random.PRNGKey(args.seed + 7)
 
     for epoch in range(start_epoch, epochs):
@@ -156,7 +191,8 @@ def train(args):
         t0 = time.perf_counter()
         for it, (batch, _) in enumerate(dl):
             fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
-            state, metrics = train_step(state, fin, mesh_arr, rng)
+            inputs = _train_inputs(fin, args.knn_chunk, needs_pyramid)
+            state, metrics = train_step(state, inputs, mesh_input, rng)
             if it % 100 == 0:
                 m = jax.device_get(metrics)
                 log.info(
@@ -174,7 +210,6 @@ def train(args):
 
 def evaluate(args):
     import jax
-    import jax.numpy as jnp
 
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
@@ -183,7 +218,6 @@ def evaluate(args):
     from gdm_tpu.data.ply import load_ply
     from gdm_tpu.eval.evaluator import Evaluator
     from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
-    from gdm_tpu.models import GeoMatch
     from gdm_tpu.parallel import all_gather_host, make_mesh, replicate
     from gdm_tpu.refdata import get as get_refdata
     from gdm_tpu.refdata._base import all_symmetry_rotations
@@ -239,14 +273,14 @@ def evaluate(args):
                 sym_rots=sym_rots, output_dir=args.output_dir,
                 obj2id=refd.obj2id)
 
-        model = GeoMatch(
-            feat_dim=cfg.model.feat_dim,
-            positive_r=cfg.model.neighbor_dis_th * diameters[obj_name])
+        model, mesh_input, mesh_xyz, needs_pyramid = _make_model(
+            cfg, diameters[obj_name], mesh_fps, mesh_arr)
         dl = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
                         num_workers=args.num_workers,
                         rank=jax.process_index(),
                         world=jax.process_count())
-        mesh_arr = replicate(mesh_arr, dev_mesh)
+        mesh_input = replicate(mesh_input, dev_mesh)
+        mesh_xyz = replicate(mesh_xyz, dev_mesh)
 
         state = None
         ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
@@ -257,23 +291,26 @@ def evaluate(args):
         mesh_feats = None
 
         @jax.jit
-        def encode_mesh(state, mesh_arr):
+        def encode_mesh(state, mesh_input):
             return state.apply_fn(
                 {"params": state.params,
                  "batch_stats": state.batch_stats},
-                mesh_arr, train=False, method="encode_mesh")
+                mesh_input, train=False, method="encode_mesh")
 
         @jax.jit
-        def infer(state, fin, mesh_arr, mesh_feats):
-            inputs = assemble_inputs(
-                fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
-                fin["xyz_img"], knn_chunk=args.knn_chunk)
+        def infer(state, fin, mesh_input, mesh_feats, mesh_xyz):
+            if needs_pyramid:
+                inputs = assemble_inputs(
+                    fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+                    fin["xyz_img"], knn_chunk=args.knn_chunk)
+            else:
+                inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
             out = state.apply_fn(
                 {"params": state.params,
                  "batch_stats": state.batch_stats},
-                inputs, mesh_arr, train=False, mesh_features=mesh_feats)
+                inputs, mesh_input, train=False, mesh_features=mesh_feats)
             poses = fit_poses_from_outputs(
-                fin["cld_rgb_nrm"][..., :3], out, mesh_arr.xyz,
+                fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
                 det=fin.get("det"), refine=args.refine)
             return poses
 
@@ -290,15 +327,11 @@ def evaluate(args):
             if state is None:
                 # init runs in train mode (awl params), so the sample
                 # inputs need the GT keys the loss consumes
-                sample_inputs = assemble_inputs(
-                    fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
-                    fin["xyz_img"], labels=fin["labels"],
-                    match_idx=fin["match_idx"],
-                    visible_flag=fin["visible_flag"], RT=fin["RT"],
-                    knn_chunk=args.knn_chunk)
+                sample_inputs = _train_inputs(
+                    fin, args.knn_chunk, needs_pyramid)
                 state = create_train_state(
                     model, jax.random.PRNGKey(0), sample_inputs,
-                    mesh_arr, lambda _: 1e-4)
+                    mesh_input, lambda _: 1e-4)
                 if args.torch_checkpoint:
                     state = load_torch_reference_checkpoint(
                         state, osp.join(args.torch_checkpoint, obj_name))
@@ -310,9 +343,10 @@ def evaluate(args):
                                     obj_name, ckpt_dir)
                 state = replicate(state, dev_mesh)
             if mesh_feats is None:
-                mesh_feats = encode_mesh(state, mesh_arr)
+                mesh_feats = encode_mesh(state, mesh_input)
             t0 = time.perf_counter()
-            poses = jax.device_get(infer(state, fin, mesh_arr, mesh_feats))
+            poses = jax.device_get(
+                infer(state, fin, mesh_input, mesh_feats, mesh_xyz))
             dt = (time.perf_counter() - t0) / n_real
             for i in range(n_real):
                 evaluator.add_prediction(

@@ -44,10 +44,16 @@ class GeoMatchDGCNN(nn.Module):
             self.feat_dim, name="normalize_feature_layer")
         self.seg_layer = MLPHead((128, 128, 128, 2), name="seg_layer")
 
-    def __call__(self, inputs, mesh_x, train: bool = False, momentum=0.1):
+    def encode_mesh(self, mesh_x, train: bool = False, momentum=0.1):
+        """Mesh branch alone (batch independent; eval caches it)."""
+        return self.model_emb(mesh_x, train, momentum)
+
+    def __call__(self, inputs, mesh_x, train: bool = False, momentum=0.1,
+                 mesh_features=None):
         """mesh_x: [M, 9] mesh node features (xyz_m | rgb_norm | normal)."""
         rgbd_emb = self.pcd_emb(inputs["cld_rgb_nrm"], train, momentum)
-        mesh_features = self.model_emb(mesh_x, train, momentum)   # [M,128]
+        if mesh_features is None:
+            mesh_features = self.encode_mesh(mesh_x, train, momentum)
         rgbd_features = self.feature_encoding_layer(
             rgbd_emb, train, momentum)
         rgbd_emb = rgbd_emb + self.normalize_feature_layer(

@@ -60,3 +60,31 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     with open(osp.join(out_dir, "gt_lmo-test.csv")) as f:
         lines = f.read().strip().split("\n")
     assert len(lines) == 5  # header + 4 frames
+
+
+def test_train_then_eval_dgcnn(monkeypatch_module, bop_root,
+                               tmp_path_factory):  # noqa: F811
+    """The DGCNN backbone variant drives through the same CLI."""
+    import dataclasses
+
+    from gdm_tpu.configs import base as cfg_base
+
+    cfg = test_data._mini_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, backbone="dgcnn"))
+    monkeypatch_module.setitem(cfg_base._PRESETS, "lmo", cfg)
+
+    ckpt_root = str(tmp_path_factory.mktemp("ckpt_dg"))
+    state = cli.main([
+        "train", "--dataset", "lmo", "--data-root", bop_root,
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--epochs", "1",
+        "--batch-size", "2", "--num-workers", "2",
+    ])
+    assert state is not None
+    results = cli.main([
+        "eval", "--dataset", "lmo", "--data-root", bop_root,
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2",
+        "--num-workers", "2",
+        "--output-dir", str(tmp_path_factory.mktemp("out_dg")),
+    ])
+    assert len(results["errors"]["ape"]["ad"]) == 4
