@@ -37,6 +37,8 @@ def fit_pose_single(
     rgbd_features: jax.Array,
     mesh_xyz: jax.Array,
     det: jax.Array,
+    use_pallas: bool = False,
+    idx: jax.Array | None = None,
 ):
     """One frame (cal_frame_poses parity, fixed shape).
 
@@ -45,21 +47,24 @@ def fit_pose_single(
       seg:  [N, 2] seg logits.
       mesh_features: [M, C]; rgbd_features: [N, C]; mesh_xyz: [M, 3].
       det:  scalar 0/1 — detection success flag.
+      use_pallas: route the similarity argmax through the streaming
+        Pallas kernel (O(tile) memory; XLA's fused matmul+argmax is
+        comparable at N=M=4096, the kernel wins as N*M grows).
 
     Returns:
       ([3, 4] pose, [N] correspondence weights, [N] matched vertex ids)
     """
+    from gdm_tpu.ops.pallas.similarity import cosine_argmax
+
     fg = (jnp.argmax(seg, axis=-1) == 1)
-    f = rgbd_features / jnp.maximum(
-        jnp.linalg.norm(rgbd_features, axis=-1, keepdims=True), 1e-12)
-    # reference normalises mesh per column of [C, M] (evaluator.py:90);
-    # ours is [M, C], so per row
-    mf = mesh_features / jnp.maximum(
-        jnp.linalg.norm(mesh_features, axis=-1, keepdims=True), 1e-12)
-    sim = jax.lax.dot_general(
-        f, mf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [N, M]
-    idx = jnp.argmax(sim, axis=-1)
+    if idx is None:
+        f = rgbd_features / jnp.maximum(
+            jnp.linalg.norm(rgbd_features, axis=-1, keepdims=True), 1e-12)
+        # reference normalises mesh per column of [C, M]
+        # (evaluator.py:90); ours is [M, C], so per row
+        mf = mesh_features / jnp.maximum(
+            jnp.linalg.norm(mesh_features, axis=-1, keepdims=True), 1e-12)
+        idx, _ = cosine_argmax(f, mf, use_pallas=use_pallas)
     w = fg.astype(jnp.float32) * det.astype(jnp.float32)
     A = jnp.take(mesh_xyz, idx, axis=0)
     rt = weighted_kabsch(A, cld, w)
@@ -68,7 +73,8 @@ def fit_pose_single(
     return rt, w, idx
 
 
-@functools.partial(jax.jit, static_argnames=("refine", "icp_iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("refine", "icp_iters", "use_pallas"))
 def fit_poses_from_outputs(
     cld: jax.Array,
     end_points: dict,
@@ -76,6 +82,7 @@ def fit_poses_from_outputs(
     det: jax.Array | None = None,
     refine: str | None = None,
     icp_iters: int = 10,
+    use_pallas: bool = False,
 ):
     """Batched pose fit from GeoMatch outputs.
 
@@ -83,6 +90,8 @@ def fit_poses_from_outputs(
       cld: [B, N, 3]; end_points: {'seg' [B,N,2], 'rgbd' [B,N,C],
       'mesh' [M,C]}; mesh_xyz: [M, 3]; det: [B] 0/1.
       refine: None | 'icp' | 'meanshift'.
+      use_pallas: correspondence argmax via the streaming Pallas kernel
+        (one launch for the whole batch; rows fold into the kernel grid).
 
     Returns:
       poses [B, 3, 4].
@@ -90,9 +99,19 @@ def fit_poses_from_outputs(
     b = cld.shape[0]
     det = jnp.ones((b,), jnp.float32) if det is None else det
 
-    def one(c, s, r, d):
+    pre_idx = None
+    if use_pallas:
+        from gdm_tpu.ops.pallas.similarity import cosine_argmax_batched
+
+        f = end_points["rgbd"] / jnp.maximum(jnp.linalg.norm(
+            end_points["rgbd"], axis=-1, keepdims=True), 1e-12)
+        mf = end_points["mesh"] / jnp.maximum(jnp.linalg.norm(
+            end_points["mesh"], axis=-1, keepdims=True), 1e-12)
+        pre_idx, _ = cosine_argmax_batched(f, mf, use_pallas=True)
+
+    def one(c, s, r, d, pidx):
         rt, w, idx = fit_pose_single(
-            c, s, end_points["mesh"], r, mesh_xyz, d)
+            c, s, end_points["mesh"], r, mesh_xyz, d, idx=pidx)
         if refine == "icp":
             rt2 = icp_refine(mesh_xyz, c, w, rt, iters=icp_iters)
             rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
@@ -104,7 +123,16 @@ def fit_poses_from_outputs(
                            rt.at[:, 3].set(center), rt)
         return rt
 
-    return jax.vmap(one)(cld, end_points["seg"], end_points["rgbd"], det)
+    if pre_idx is None:
+        pre_idx = jnp.zeros(cld.shape[:2], jnp.int32)
+
+        def one_noidx(c, s, r, d, _):
+            return one(c, s, r, d, None)
+
+        return jax.vmap(one_noidx)(
+            cld, end_points["seg"], end_points["rgbd"], det, pre_idx)
+    return jax.vmap(one)(
+        cld, end_points["seg"], end_points["rgbd"], det, pre_idx)
 
 
 def icp_refine(

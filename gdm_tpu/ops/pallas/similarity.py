@@ -1,0 +1,147 @@
+"""Fused dense-correspondence kernel: cosine similarity + running argmax.
+
+The reference computes an [n_scene, n_mesh] similarity matrix and takes a
+per-row argmax to pick correspondences (evaluator.py:89-93 at eval;
+geoMatch.py:136 builds the same product for the loss).  Materialising
+[4096, 4096] x f32 costs a 64 MB HBM round trip per frame just to keep
+one winner per row.
+
+This kernel streams mesh-feature tiles through VMEM flash-attention
+style: grid = (scene tiles, mesh tiles), the MXU computes each
+[TN, C] x [C, TM] tile product, and a VMEM scratch carries the running
+(max score, argmax index) across the mesh dimension — the full matrix
+never exists.  O(N*C + M*C) HBM traffic instead of O(N*M).
+
+Inputs are L2-normalised by the caller (cosine = dot of unit vectors).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TN = 1024  # scene rows per tile (matches XLA's 1-D s32 tiling T(1024))
+TM = 512   # mesh columns per tile
+
+
+def _make_kernel(m_actual: int):
+    import jax.experimental.pallas as pl
+
+    def kernel(scene_ref, mesh_ref, idx_ref, score_ref, best_ref, arg_ref):
+        jj = pl.program_id(1)
+        n_j = pl.num_programs(1)
+
+        @pl.when(jj == 0)
+        def _():
+            best_ref[:] = jnp.full_like(best_ref, -jnp.inf)
+            arg_ref[:] = jnp.zeros_like(arg_ref)
+
+        # bf16 MXU inputs, f32 accumulation: unit-norm features have
+        # ~2^-8 relative error per product — argmax winners flip only on
+        # genuine near-ties, which downstream Kabsch is insensitive to
+        scores = jax.lax.dot_general(
+            scene_ref[:].astype(jnp.bfloat16),
+            mesh_ref[:].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TN, TM]
+        # mask zero-padded mesh columns so they never win
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+            + jj * TM
+        scores = jnp.where(col < m_actual, scores, -jnp.inf)
+        tile_best = jnp.max(scores, axis=1)
+        tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + jj * TM
+
+        better = tile_best > best_ref[:]
+        best_ref[:] = jnp.where(better, tile_best, best_ref[:])
+        arg_ref[:] = jnp.where(better, tile_arg, arg_ref[:])
+
+        @pl.when(jj == n_j - 1)
+        def _():
+            idx_ref[:] = arg_ref[:]
+            score_ref[:] = best_ref[:]
+
+    return kernel
+
+
+def _pallas_cosine_argmax(scene_f: jax.Array, mesh_f: jax.Array,
+                          interpret: bool = False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, c = scene_f.shape
+    m = mesh_f.shape[0]
+    n_pad = (-n) % TN
+    m_pad = (-m) % TM
+    scene_p = jnp.pad(scene_f, ((0, n_pad), (0, 0)))
+    mesh_p = jnp.pad(mesh_f, ((0, m_pad), (0, 0)))
+
+    grid = ((n + n_pad) // TN, (m + m_pad) // TM)
+    idx, score = pl.pallas_call(
+        _make_kernel(m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TN, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, c), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TN,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + n_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((n + n_pad,), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TN,), jnp.float32),
+            pltpu.VMEM((TN,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scene_p, mesh_p)
+    return idx[:n], score[:n]
+
+
+def _xla_cosine_argmax(scene_f: jax.Array, mesh_f: jax.Array):
+    sim = jax.lax.dot_general(
+        scene_f, mesh_f, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.argmax(sim, axis=-1).astype(jnp.int32), jnp.max(sim, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def cosine_argmax(scene_f: jax.Array, mesh_f: jax.Array,
+                  use_pallas: bool | None = None):
+    """Per-scene-point best mesh match under dot-product similarity.
+
+    Args:
+      scene_f: [n, c] scene features (L2-normalised for cosine).
+      mesh_f:  [m, c] mesh features (L2-normalised).
+      use_pallas: opt into the kernel (requires a TPU backend; None/False
+        use the XLA fallback — correct everywhere, and competitive at
+        N=M=4096 where XLA's fused matmul+argmax already avoids most of
+        the HBM round trip).
+
+    Returns:
+      (idx [n] int32, score [n] f32).
+    """
+    if use_pallas:
+        return _pallas_cosine_argmax(scene_f, mesh_f)
+    return _xla_cosine_argmax(scene_f, mesh_f)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def cosine_argmax_batched(scene_f: jax.Array, mesh_f: jax.Array,
+                          use_pallas: bool | None = None):
+    """Batched rows against one shared mesh: [B, N, C] x [M, C].
+
+    Rows are independent, so the batch folds into the row axis — one
+    kernel launch, no vmap (TPU pallas 1-D outputs don't batch)."""
+    b, n, c = scene_f.shape
+    idx, score = cosine_argmax(
+        scene_f.reshape(b * n, c), mesh_f, use_pallas=use_pallas)
+    return idx.reshape(b, n), score.reshape(b, n)
