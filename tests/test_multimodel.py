@@ -1,0 +1,93 @@
+"""Multi-object vmap-stacked inference: a mixed batch routed through
+stacked per-object weights gives the same outputs as running each
+element through its own model (the reference's per-element dict loop,
+train_lm.py:298-314)."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.data.synthetic import make_batch, make_object
+    from gdm_tpu.models import GeoMatch
+    from gdm_tpu.models.geomatch import MeshArrays
+    from gdm_tpu.models.spline_mesh import build_mesh_graph
+
+    im, n_mesh, n_sample = 48, 32, 256
+    K = np.array([[210.0, 0, im / 2], [0, 210.0, im / 2], [0, 0, 1]],
+                 np.float32)
+    model = GeoMatch(positive_r=0.01)
+
+    meshes, variables, datas = [], [], []
+    for obj in range(2):
+        rng = np.random.RandomState(obj)
+        mesh_fps = make_object(n_mesh, rng, radius=0.04 + 0.02 * obj)
+        mesh = MeshArrays.from_graph(build_mesh_graph(mesh_fps, n_mesh))
+        data, _ = make_batch(mesh_fps, 2, K, im_size=im,
+                             n_sample=n_sample, seed=obj)
+        inputs = assemble_inputs(
+            jnp.asarray(data["rgb"]), jnp.asarray(data["cld_rgb_nrm"]),
+            jnp.asarray(data["choose"]), jnp.asarray(data["xyz_img"]),
+            knn_chunk=64)
+        v = jax.jit(lambda r, i, m: model.init(r, i, m, train=False))(
+            jax.random.PRNGKey(obj), inputs, mesh)
+        meshes.append(mesh)
+        variables.append(v)
+        datas.append((data, inputs))
+    return model, meshes, variables, datas
+
+
+def test_stacked_matches_per_object(setup):
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.multimodel import make_multi_model_infer, \
+        select_tree, stack_trees
+    from gdm_tpu.eval.pose_fit import fit_pose_single
+
+    model, meshes, variables, datas = setup
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+
+    # mixed batch: element 0 from object 0, element 1 from object 1
+    mixed_inputs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a[0], b[1]]),
+        datas[0][1], datas[1][1])
+    cld = jnp.stack([datas[0][0]["cld_rgb_nrm"][0, :, :3],
+                     datas[1][0]["cld_rgb_nrm"][1, :, :3]])
+    obj_idx = jnp.array([0, 1], jnp.int32)
+    det = jnp.ones((2,), jnp.float32)
+
+    infer = make_multi_model_infer(model)
+    poses = np.asarray(infer(stacked_vars, stacked_mesh, mixed_inputs,
+                             cld, obj_idx, det))
+
+    # reference behaviour: per-element model dict
+    for b, obj in enumerate([0, 1]):
+        inputs_1 = jax.tree_util.tree_map(
+            lambda x: x[b:b + 1], mixed_inputs)
+        out = model.apply(variables[obj], inputs_1, meshes[obj],
+                          train=False)
+        rt, _, _ = fit_pose_single(
+            cld[b], out["seg"][0], out["mesh"], out["rgbd"][0],
+            meshes[obj].xyz, det[b])
+        np.testing.assert_allclose(poses[b], np.asarray(rt), atol=1e-4)
+
+
+def test_select_tree_roundtrip(setup):
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.multimodel import select_tree, stack_trees
+
+    _, meshes, _, _ = setup
+    stacked = stack_trees(meshes)
+    got = select_tree(stacked, jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(got.xyz),
+                               np.asarray(meshes[1].xyz))
