@@ -392,7 +392,8 @@ def build_parser():
     common(e)
     e.add_argument("--cls-id", type=int, default=None,
                    help="single object (default: all in config)")
-    e.add_argument("--refine", choices=["icp", "meanshift"], default=None)
+    e.add_argument("--refine", choices=["ransac", "icp", "meanshift"],
+                   default=None)
     e.add_argument("--output-dir", default="output")
     e.add_argument("--torch-checkpoint", default=None,
                    help="directory of reference .pth.tar checkpoints to "

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from gdm_tpu.ops.kabsch import weighted_kabsch, transform_pts
 from gdm_tpu.ops.knn import knn_with_dist
 from gdm_tpu.ops.meanshift import mean_shift
+from gdm_tpu.ops.ransac import ransac_kabsch
 
 
 def _miss_pose():
@@ -89,7 +90,7 @@ def fit_poses_from_outputs(
     Args:
       cld: [B, N, 3]; end_points: {'seg' [B,N,2], 'rgbd' [B,N,C],
       'mesh' [M,C]}; mesh_xyz: [M, 3]; det: [B] 0/1.
-      refine: None | 'icp' | 'meanshift'.
+      refine: None | 'ransac' | 'icp' | 'meanshift'.
       use_pallas: correspondence argmax via the streaming Pallas kernel
         (one launch for the whole batch; rows fold into the kernel grid).
 
@@ -112,7 +113,15 @@ def fit_poses_from_outputs(
     def one(c, s, r, d, pidx):
         rt, w, idx = fit_pose_single(
             c, s, end_points["mesh"], r, mesh_xyz, d, idx=pidx)
-        if refine == "icp":
+        if refine == "ransac":
+            # reference best_fit_transform_with_RANSAC option
+            # (pvn3d_eval_utils_kpls.py:79-124), vectorized
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(0), jnp.sum(idx).astype(jnp.int32))
+            A = jnp.take(mesh_xyz, idx, axis=0)
+            rt2 = ransac_kabsch(A, c, w, key)
+            rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
+        elif refine == "icp":
             rt2 = icp_refine(mesh_xyz, c, w, rt, iters=icp_iters)
             rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
         elif refine == "meanshift":
