@@ -73,7 +73,8 @@ def _make_model(cfg, diameter_m, mesh_fps, mesh_arr):
 
     model = GeoMatch(
         feat_dim=cfg.model.feat_dim,
-        positive_r=cfg.model.neighbor_dis_th * diameter_m)
+        positive_r=cfg.model.neighbor_dis_th * diameter_m,
+        compute_dtype=jnp.dtype(cfg.model.compute_dtype))
     return model, mesh_arr, mesh_arr.xyz, True
 
 

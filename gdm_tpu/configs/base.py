@@ -36,6 +36,8 @@ class ModelConfig:
     n_mesh_node: int = 4096
     neighbor_dis_th: float = 0.02   # x diameter: circle-loss positive radius
     backbone: str = "randla_spline"  # or "dgcnn"
+    compute_dtype: str = "float32"   # 'bfloat16' halves encoder bandwidth
+    # (heads/losses/mesh branch stay f32; BN statistics always f32)
     randla_d_out: Sequence[int] = (32, 64, 128, 256)
     randla_k: int = 16
     mesh_knn_k: int = 4

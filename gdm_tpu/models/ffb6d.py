@@ -39,10 +39,12 @@ from gdm_tpu.models.randla import (
 
 class FFB6DEmb(nn.Module):
     d_out: tuple = (32, 64, 128, 256)
+    dtype: object = jnp.float32
 
     def setup(self):
-        self.cnn = PSPNetFeats(name="cnn")
-        self.rndla = RandLAEncoder(self.d_out, name="rndla")
+        self.cnn = PSPNetFeats(name="cnn", dtype=self.dtype)
+        self.rndla = RandLAEncoder(self.d_out, name="rndla",
+                                   dtype=self.dtype)
 
         ds_rgb_oc = (64, 128, 512, 1024)
         ds_rndla_oc = tuple(2 * d for d in self.d_out)    # (64,128,256,512)
@@ -50,16 +52,20 @@ class FFB6DEmb(nn.Module):
         self.ds_rndla_oc = ds_rndla_oc
 
         self.ds_r2p_pre = [
-            DenseBNAct(ds_rndla_oc[i], name=f"ds_r2p_pre_{i}")
+            DenseBNAct(ds_rndla_oc[i], name=f"ds_r2p_pre_{i}",
+                       dtype=self.dtype)
             for i in range(4)]
         self.ds_r2p_fuse = [
-            DenseBNAct(ds_rndla_oc[i], name=f"ds_r2p_fuse_{i}")
+            DenseBNAct(ds_rndla_oc[i], name=f"ds_r2p_fuse_{i}",
+                       dtype=self.dtype)
             for i in range(4)]
         self.ds_p2r_pre = [
-            DenseBNAct(ds_rgb_oc[i], name=f"ds_p2r_pre_{i}")
+            DenseBNAct(ds_rgb_oc[i], name=f"ds_p2r_pre_{i}",
+                       dtype=self.dtype)
             for i in range(4)]
         self.ds_p2r_fuse = [
-            DenseBNAct(ds_rgb_oc[i], name=f"ds_p2r_fuse_{i}")
+            DenseBNAct(ds_rgb_oc[i], name=f"ds_p2r_fuse_{i}",
+                       dtype=self.dtype)
             for i in range(4)]
 
         up_rgb_oc = (256, 64, 64)
@@ -67,16 +73,20 @@ class FFB6DEmb(nn.Module):
         self.up_rgb_oc = up_rgb_oc
         self.up_rndla_oc = up_rndla_oc
         self.up_r2p_pre = [
-            DenseBNAct(up_rndla_oc[i], name=f"up_r2p_pre_{i}")
+            DenseBNAct(up_rndla_oc[i], name=f"up_r2p_pre_{i}",
+                       dtype=self.dtype)
             for i in range(3)]
         self.up_r2p_fuse = [
-            DenseBNAct(up_rndla_oc[i], name=f"up_r2p_fuse_{i}")
+            DenseBNAct(up_rndla_oc[i], name=f"up_r2p_fuse_{i}",
+                       dtype=self.dtype)
             for i in range(3)]
         self.up_p2r_pre = [
-            DenseBNAct(up_rgb_oc[i], name=f"up_p2r_pre_{i}")
+            DenseBNAct(up_rgb_oc[i], name=f"up_p2r_pre_{i}",
+                       dtype=self.dtype)
             for i in range(3)]
         self.up_p2r_fuse = [
-            DenseBNAct(up_rgb_oc[i], name=f"up_p2r_fuse_{i}")
+            DenseBNAct(up_rgb_oc[i], name=f"up_p2r_fuse_{i}",
+                       dtype=self.dtype)
             for i in range(3)]
         self.drop_psp = nn.Dropout(0.3, name="drop_psp")
         self.drop_up = [nn.Dropout(0.15, name=f"drop_up_{i}")
@@ -109,9 +119,12 @@ class FFB6DEmb(nn.Module):
     def __call__(self, inputs, train: bool = False, momentum=0.1):
         bs, h, w, _ = inputs["rgb"].shape
 
-        # pre stages
-        rgb = self.cnn.feats.stem(inputs["rgb"], train, momentum)
-        p = self.rndla.fc0(inputs["cld_rgb_nrm"], train, momentum)
+        # pre stages (cast activations to the compute dtype once here;
+        # BatchNorm keeps statistics in f32 internally)
+        rgb = self.cnn.feats.stem(
+            inputs["rgb"].astype(self.dtype), train, momentum)
+        p = self.rndla.fc0(
+            inputs["cld_rgb_nrm"].astype(self.dtype), train, momentum)
 
         # ----------------- encoding -----------------
         ds_emb = []

@@ -60,9 +60,11 @@ class GeoMatch(nn.Module):
     positive_r: float = 0.002   # neighbor_dis_th * diameter_m
     circle_gamma: float = 16.0
     circle_m: float = 0.2
+    compute_dtype: object = jnp.float32   # bf16 halves encoder bandwidth;
+    # heads / losses / mesh branch stay f32
 
     def setup(self):
-        self.pcd_emb = FFB6DEmb(name="pcd_emb")
+        self.pcd_emb = FFB6DEmb(name="pcd_emb", dtype=self.compute_dtype)
         self.model_emb = SplineMeshEncoder(self.feat_dim, name="model_emb")
         self.awl = AutomaticWeightedLoss(2, name="awl")
         self.feature_encoding_layer = MLPHead(
@@ -83,7 +85,8 @@ class GeoMatch(nn.Module):
 
     def __call__(self, inputs, mesh: MeshArrays, train: bool = False,
                  momentum=0.1, mesh_features=None):
-        rgbd_emb = self.pcd_emb(inputs, train, momentum)          # [B,N,128]
+        rgbd_emb = self.pcd_emb(
+            inputs, train, momentum).astype(jnp.float32)          # [B,N,128]
         if mesh_features is None:
             mesh_features = self.encode_mesh(mesh, train)         # [M,128]
         rgbd_features = self.feature_encoding_layer(

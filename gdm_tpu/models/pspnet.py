@@ -56,8 +56,8 @@ def resize_bilinear_ac(x: jax.Array, out_hw) -> jax.Array:
     """align_corners=True bilinear resize of NHWC via two matmuls."""
     h_out, w_out = out_hw
     _, h_in, w_in, _ = x.shape
-    Rh = jnp.asarray(_interp_matrix_ac(h_in, h_out))
-    Rw = jnp.asarray(_interp_matrix_ac(w_in, w_out))
+    Rh = jnp.asarray(_interp_matrix_ac(h_in, h_out), dtype=x.dtype)
+    Rw = jnp.asarray(_interp_matrix_ac(w_in, w_out), dtype=x.dtype)
     x = jnp.einsum("oh,bhwc->bowc", Rh, x)
     return jnp.einsum("ow,bhwc->bhoc", Rw, x)
 
@@ -94,7 +94,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         a = self.param("alpha", nn.initializers.constant(0.25), (1,))
-        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+        return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
 
 
 class PSPModule(nn.Module):
@@ -102,6 +102,7 @@ class PSPModule(nn.Module):
 
     out_features: int = 1024
     sizes: Sequence[int] = (1, 2, 3, 6)
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
@@ -110,10 +111,11 @@ class PSPModule(nn.Module):
         for s in self.sizes:
             p = adaptive_avg_pool(x, (s, s))
             p = nn.Conv(x.shape[-1], (1, 1), use_bias=False,
-                        name=f"stage_{s}")(p)
+                        name=f"stage_{s}", dtype=self.dtype)(p)
             priors.append(resize_bilinear_ac(p, (h, w)))
         priors.append(x)
-        y = nn.Conv(self.out_features, (1, 1), name="bottleneck")(
+        y = nn.Conv(self.out_features, (1, 1), name="bottleneck",
+                    dtype=self.dtype)(
             jnp.concatenate(priors, axis=-1))
         return nn.relu(y)
 
@@ -122,13 +124,15 @@ class PSPUpsample(nn.Module):
     """x2 bilinear upsample + conv3x3 + BN + PReLU (pspnet.py:34-45)."""
 
     features: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
         h, w = x.shape[1], x.shape[2]
         x = resize_bilinear_ac(x, (2 * h, 2 * w))
-        x = nn.Conv(self.features, (3, 3), padding="SAME", name="conv")(x)
-        x = BatchNorm(name="bn")(x, train, momentum)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", name="conv",
+                    dtype=self.dtype)(x)
+        x = BatchNorm(name="bn", dtype=self.dtype)(x, train, momentum)
         return PReLU(name="prelu")(x)
 
 
@@ -142,16 +146,19 @@ class PSPNetFeats(nn.Module):
 
     backend_layers: Sequence[int] = (2, 2, 2, 2)
     psp_out: int = 1024
+    dtype: object = jnp.float32
 
     def setup(self):
         from gdm_tpu.models.resnet import ResNetFeats
 
-        self.feats = ResNetFeats(self.backend_layers, name="feats")
-        self.psp = PSPModule(self.psp_out, name="psp")
-        self.up_1 = PSPUpsample(256, name="up_1")
-        self.up_2 = PSPUpsample(64, name="up_2")
-        self.up_3 = PSPUpsample(64, name="up_3")
-        self.final_conv = nn.Conv(64, (1, 1), name="final_conv")
+        self.feats = ResNetFeats(self.backend_layers, name="feats",
+                                 dtype=self.dtype)
+        self.psp = PSPModule(self.psp_out, name="psp", dtype=self.dtype)
+        self.up_1 = PSPUpsample(256, name="up_1", dtype=self.dtype)
+        self.up_2 = PSPUpsample(64, name="up_2", dtype=self.dtype)
+        self.up_3 = PSPUpsample(64, name="up_3", dtype=self.dtype)
+        self.final_conv = nn.Conv(64, (1, 1), name="final_conv",
+                                  dtype=self.dtype)
 
     def final(self, x):
         return channel_log_softmax(self.final_conv(x))

@@ -48,20 +48,24 @@ class AttPooling(nn.Module):
     """Attentive pooling over the K neighbour axis (RandLANet.py:741-754)."""
 
     d_out: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
         # x: [B, N, K, C]
-        att = nn.Dense(x.shape[-1], use_bias=False, name="fc")(x)
+        att = nn.Dense(x.shape[-1], use_bias=False, name="fc",
+                       dtype=self.dtype)(x)
         scores = jax.nn.softmax(att, axis=2)
         agg = jnp.sum(x * scores, axis=2)                 # [B, N, C]
-        return DenseBNAct(self.d_out, name="mlp")(agg, train, momentum)
+        return DenseBNAct(self.d_out, name="mlp",
+                          dtype=self.dtype)(agg, train, momentum)
 
 
 class BuildingBlock(nn.Module):
     """Local feature aggregation (RandLANet.py:691-738)."""
 
     d_out: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, feats, neigh_idx, train: bool, momentum=0.1):
@@ -72,17 +76,20 @@ class BuildingBlock(nn.Module):
         rel = xyz_tile - neigh_xyz
         dist = jnp.linalg.norm(rel, axis=-1, keepdims=True)
         f_xyz = jnp.concatenate([dist, rel, xyz_tile, neigh_xyz], axis=-1)
+        f_xyz = f_xyz.astype(self.dtype)
 
-        f_xyz1 = DenseBNAct(self.d_out // 2, name="mlp1")(
-            f_xyz, train, momentum)
+        f_xyz1 = DenseBNAct(self.d_out // 2, name="mlp1",
+                            dtype=self.dtype)(f_xyz, train, momentum)
         f_neigh = gather_neighbours_b(feats, neigh_idx)
-        agg1 = AttPooling(self.d_out // 2, name="att_pooling_1")(
+        agg1 = AttPooling(self.d_out // 2, name="att_pooling_1",
+                          dtype=self.dtype)(
             jnp.concatenate([f_neigh, f_xyz1], axis=-1), train, momentum)
 
-        f_xyz2 = DenseBNAct(self.d_out // 2, name="mlp2")(
-            f_xyz1, train, momentum)
+        f_xyz2 = DenseBNAct(self.d_out // 2, name="mlp2",
+                            dtype=self.dtype)(f_xyz1, train, momentum)
         f_neigh2 = gather_neighbours_b(agg1, neigh_idx)
-        return AttPooling(self.d_out, name="att_pooling_2")(
+        return AttPooling(self.d_out, name="att_pooling_2",
+                          dtype=self.dtype)(
             jnp.concatenate([f_neigh2, f_xyz2], axis=-1), train, momentum)
 
 
@@ -90,16 +97,18 @@ class DilatedResBlock(nn.Module):
     """RandLANet.py:674-688."""
 
     d_out: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, feats, xyz, neigh_idx, train: bool, momentum=0.1):
-        f = DenseBNAct(self.d_out // 2, name="mlp1")(feats, train, momentum)
-        f = BuildingBlock(self.d_out, name="lfa")(
+        f = DenseBNAct(self.d_out // 2, name="mlp1",
+                       dtype=self.dtype)(feats, train, momentum)
+        f = BuildingBlock(self.d_out, name="lfa", dtype=self.dtype)(
             xyz, f, neigh_idx, train, momentum)
-        f = DenseBNAct(2 * self.d_out, act=None, name="mlp2")(
-            f, train, momentum)
-        sc = DenseBNAct(2 * self.d_out, act=None, name="shortcut")(
-            feats, train, momentum)
+        f = DenseBNAct(2 * self.d_out, act=None, name="mlp2",
+                       dtype=self.dtype)(f, train, momentum)
+        sc = DenseBNAct(2 * self.d_out, act=None, name="shortcut",
+                        dtype=self.dtype)(feats, train, momentum)
         return leaky_relu02(f + sc)
 
 
@@ -110,11 +119,12 @@ class RandLAEncoder(nn.Module):
     ffb6d.py:28,40,90)."""
 
     d_out: tuple = (32, 64, 128, 256)
+    dtype: object = jnp.float32
 
     def setup(self):
-        self.fc0 = DenseBNAct(8, name="fc0")
+        self.fc0 = DenseBNAct(8, name="fc0", dtype=self.dtype)
         self.ds_blocks = [
-            DilatedResBlock(d, name=f"ds_{i}")
+            DilatedResBlock(d, name=f"ds_{i}", dtype=self.dtype)
             for i, d in enumerate(self.d_out)
         ]
         # decoder widths per RandLANet.py:31-39 given d_out=(32,64,128,256)
@@ -128,5 +138,6 @@ class RandLAEncoder(nn.Module):
             dec_widths.append(w)
             d_prev = w
         self.up_blocks = [
-            DenseBNAct(w, name=f"up_{j}") for j, w in enumerate(dec_widths)
+            DenseBNAct(w, name=f"up_{j}", dtype=self.dtype)
+            for j, w in enumerate(dec_widths)
         ]

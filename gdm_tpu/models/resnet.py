@@ -24,23 +24,27 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     use_downsample: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
         residual = x
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, name="conv1")(x)
-        y = BatchNorm(name="bn1")(y, train, momentum)
+                    padding="SAME", use_bias=False, name="conv1",
+                    dtype=self.dtype)(x)
+        y = BatchNorm(name="bn1", dtype=self.dtype)(y, train, momentum)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
-                    name="conv2")(y)
-        y = BatchNorm(name="bn2")(y, train, momentum)
+                    name="conv2", dtype=self.dtype)(y)
+        y = BatchNorm(name="bn2", dtype=self.dtype)(y, train, momentum)
         if self.use_downsample:
             residual = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, name="downsample_conv")(x)
-            residual = BatchNorm(name="downsample_bn")(residual, train,
-                                                       momentum)
+                use_bias=False, name="downsample_conv",
+                dtype=self.dtype)(x)
+            residual = BatchNorm(name="downsample_bn",
+                                 dtype=self.dtype)(residual, train,
+                                                   momentum)
         return nn.relu(y + residual)
 
 
@@ -57,11 +61,13 @@ class ResNetFeats(nn.Module):
     """
 
     layers: Sequence[int] = (2, 2, 2, 2)   # resnet18; (3,4,6,3) = resnet34
+    dtype: object = jnp.float32
 
     def setup(self):
         self.stem_conv = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                                 use_bias=False, name="conv1")
-        self.stem_bn = BatchNorm(name="bn1")
+                                 use_bias=False, name="conv1",
+                                 dtype=self.dtype)
+        self.stem_bn = BatchNorm(name="bn1", dtype=self.dtype)
         planes = (64, 128, 256, 512)
         strides = (1, 2, 1, 1)
         blocks = []
@@ -71,7 +77,7 @@ class ResNetFeats(nn.Module):
             for bi in range(n):
                 stride = s if bi == 0 else 1
                 ds = bi == 0 and (stride != 1 or in_planes != p)
-                stage.append(BasicBlock(p, stride, ds,
+                stage.append(BasicBlock(p, stride, ds, dtype=self.dtype,
                                         name=f"layer{li + 1}_{bi}"))
                 in_planes = p
             blocks.append(stage)
