@@ -242,6 +242,12 @@ def evaluate(args):
 
     evaluator = None
     gts = {}
+    # one model / one set of jits / one init serves every object: objects
+    # share the architecture and shapes, so params and mesh constants are
+    # plain arguments — 21-object YCB-V eval compiles once, not 21 times
+    model = None
+    state_template = None
+    encode_mesh = infer = None
     for cls_id in cls_ids:
         obj_name = refd.id2obj[cls_id]
         obj_names.append(obj_name)
@@ -274,8 +280,10 @@ def evaluate(args):
                 sym_rots=sym_rots, output_dir=args.output_dir,
                 obj2id=refd.obj2id)
 
-        model, mesh_input, mesh_xyz, needs_pyramid = _make_model(
+        model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
             cfg, diameters[obj_name], mesh_fps, mesh_arr)
+        if model is None:
+            model = model_i        # positive_r differences are train-only
         dl = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
                         num_workers=args.num_workers,
                         rank=jax.process_index(),
@@ -291,29 +299,31 @@ def evaluate(args):
         # program schedules ~3x slower on TPU) and pipeline in the queue
         mesh_feats = None
 
-        @jax.jit
-        def encode_mesh(state, mesh_input):
-            return state.apply_fn(
-                {"params": state.params,
-                 "batch_stats": state.batch_stats},
-                mesh_input, train=False, method="encode_mesh")
+        if infer is None:
+            @jax.jit
+            def encode_mesh(state, mesh_input):
+                return state.apply_fn(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    mesh_input, train=False, method="encode_mesh")
 
-        @jax.jit
-        def infer(state, fin, mesh_input, mesh_feats, mesh_xyz):
-            if needs_pyramid:
-                inputs = assemble_inputs(
-                    fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
-                    fin["xyz_img"], knn_chunk=args.knn_chunk)
-            else:
-                inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
-            out = state.apply_fn(
-                {"params": state.params,
-                 "batch_stats": state.batch_stats},
-                inputs, mesh_input, train=False, mesh_features=mesh_feats)
-            poses = fit_poses_from_outputs(
-                fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
-                det=fin.get("det"), refine=args.refine)
-            return poses
+            @jax.jit
+            def infer(state, fin, mesh_input, mesh_feats, mesh_xyz):
+                if needs_pyramid:
+                    inputs = assemble_inputs(
+                        fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+                        fin["xyz_img"], knn_chunk=args.knn_chunk)
+                else:
+                    inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
+                out = state.apply_fn(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    inputs, mesh_input, train=False,
+                    mesh_features=mesh_feats)
+                poses = fit_poses_from_outputs(
+                    fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
+                    det=fin.get("det"), refine=args.refine)
+                return poses
 
         n_done = 0
         for batch, meta in dl:
@@ -326,13 +336,16 @@ def evaluate(args):
                     batch.items()}
             fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
             if state is None:
-                # init runs in train mode (awl params), so the sample
-                # inputs need the GT keys the loss consumes
-                sample_inputs = _train_inputs(
-                    fin, args.knn_chunk, needs_pyramid)
-                state = create_train_state(
-                    model, jax.random.PRNGKey(0), sample_inputs,
-                    mesh_input, lambda _: 1e-4)
+                if state_template is None:
+                    # init runs in train mode (awl params), so the sample
+                    # inputs need the GT keys the loss consumes; one init
+                    # serves all objects (identical structure)
+                    sample_inputs = _train_inputs(
+                        fin, args.knn_chunk, needs_pyramid)
+                    state_template = create_train_state(
+                        model, jax.random.PRNGKey(0), sample_inputs,
+                        mesh_input, lambda _: 1e-4)
+                state = state_template
                 if args.torch_checkpoint:
                     state = load_torch_reference_checkpoint(
                         state, osp.join(args.torch_checkpoint, obj_name))
