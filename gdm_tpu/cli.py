@@ -123,7 +123,6 @@ def train(args):
         make_train_step,
         save_checkpoint,
     )
-    from gdm_tpu.train.schedules import clr_step_size
     from gdm_tpu.utils.logging import get_logger
 
     if args.multihost:
@@ -157,9 +156,10 @@ def train(args):
 
     model, mesh_input, _, needs_pyramid = _make_model(
         cfg, diameter_m, mesh_fps, mesh_arr)
+    # step_size follows the reference's epochs*len/bs/div/n_replicas
+    # (train_lm.py:441-447) with len(dl) already per-process
     lr = cyclic_lr(sol.base_lr, sol.max_lr,
-                   clr_step_size(epochs, len(ds), batch_size,
-                                 sol.clr_div))
+                   max(epochs * len(dl) // sol.clr_div, 1))
     bnm = bn_momentum_schedule(sol.bn_momentum, sol.bn_decay,
                                sol.bn_decay_step, batch_size,
                                sol.bn_momentum_clip)
@@ -395,6 +395,9 @@ def build_parser():
         sp.add_argument("--knn-chunk", type=int, default=512)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--multihost", action="store_true")
+        sp.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace here "
+                             "(inspect with xprof/TensorBoard)")
 
     t = sub.add_parser("train", help="train one object's model")
     common(t)
@@ -416,10 +419,13 @@ def build_parser():
 
 
 def main(argv=None):
+    from gdm_tpu.utils.logging import profiler_trace
+
     args = build_parser().parse_args(argv)
-    if args.command == "train":
-        return train(args)
-    return evaluate(args)
+    with profiler_trace(args.profile_dir):
+        if args.command == "train":
+            return train(args)
+        return evaluate(args)
 
 
 if __name__ == "__main__":

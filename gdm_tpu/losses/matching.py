@@ -6,8 +6,10 @@ pointwise_feature_matching).  Fixed-shape re-design:
   * The reference loops over batch elements in python, dynamically slicing
     foreground rows (geoMatch.py:125-131).  Here the similarity matrix is
     computed for all N rows per element and invalid rows are masked — the
-    whole loss is one `lax.scan` over the batch (bounding the [N, M]
-    temporaries to one element at a time) with no host interaction.
+    whole loss is one vmap over the batch (4x faster than a lax.scan of
+    per-element matmuls on TPU: one [B*N, C] x [C, M+1] MXU contraction
+    instead of B serialized small ones).  `batch_chunk` bounds the [N, M]
+    temporaries for very large B*N*M by scanning vmapped chunks.
   * Per-element losses are averaged only over elements with >= 3 foreground
     points, like the reference's `len(idxs) < 3: continue` skip.
   * The symmetric branch implements the *intent* of matching_loss_sys:
@@ -116,6 +118,7 @@ def pointwise_matching_loss(
     pad_onehot: bool = False,
     rt: jax.Array | None = None,
     depth_scaled_r_mm: float | None = None,
+    batch_chunk: int | None = None,
 ) -> jax.Array:
     """Batch matching loss (pointwise_feature_matching parity).
 
@@ -133,6 +136,8 @@ def pointwise_matching_loss(
       pad_onehot:    pad column e0 instead of -1s (geoMatch_DGCNN.py:95-98).
       rt, depth_scaled_r_mm: enable the DGCNN depth-proportional radius
         (rt: [B, 3, 4] GT poses).
+      batch_chunk:   elements held in memory at once (None = whole batch;
+        peak temp is chunk * N * (M+1) floats x ~3).
 
     Returns:
       scalar: mean over valid elements of per-element masked row means.
@@ -151,8 +156,7 @@ def pointwise_matching_loss(
     if rt is None:
         rt = jnp.zeros((rgbd_features.shape[0], 3, 4), jnp.float32)
 
-    def one_element(carry, inp):
-        feats, lab, midx, vis, pose = inp
+    def one_element(feats, lab, midx, vis, pose):
         f = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
         sim = jax.lax.dot_general(
@@ -170,9 +174,21 @@ def pointwise_matching_loss(
         n_fg = jnp.sum(row_valid)
         elem_loss = jnp.sum(per_row * row_valid) / jnp.maximum(n_fg, 1)
         elem_w = (n_fg >= 3).astype(jnp.float32)
-        return carry, (elem_loss, elem_w)
+        return elem_loss, elem_w
 
-    _, (losses, ws) = jax.lax.scan(
-        one_element, 0,
-        (rgbd_features, labels, match_idx, visible_flag, rt))
+    b = rgbd_features.shape[0]
+    if batch_chunk is None or batch_chunk >= b:
+        losses, ws = jax.vmap(one_element)(
+            rgbd_features, labels, match_idx, visible_flag, rt)
+    else:
+        assert b % batch_chunk == 0, (b, batch_chunk)
+        packed = [
+            x.reshape(b // batch_chunk, batch_chunk, *x.shape[1:])
+            for x in (rgbd_features, labels, match_idx, visible_flag, rt)]
+
+        def step(carry, inp):
+            return carry, jax.vmap(one_element)(*inp)
+
+        _, (losses, ws) = jax.lax.scan(step, 0, tuple(packed))
+        losses, ws = losses.ravel(), ws.ravel()
     return jnp.sum(losses * ws) / jnp.maximum(jnp.sum(ws), 1.0)
