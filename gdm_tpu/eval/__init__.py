@@ -2,6 +2,8 @@
 bookkeeping (reference evaluator.py + utils/pvn3d_eval_utils_kpls.py +
 lib/pysixd/pose_error.py main-path subset)."""
 
+from gdm_tpu.eval.multimodel import make_multi_model_infer, select_tree, \
+    stack_trees
 from gdm_tpu.eval.pose_fit import fit_poses_from_outputs, icp_refine
 from gdm_tpu.eval.metrics import (
     add_err,
