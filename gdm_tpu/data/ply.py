@@ -13,8 +13,8 @@ import os.path as osp
 
 import numpy as np
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from gdm_tpu.constants import IMAGENET_MEAN, IMAGENET_STD  # noqa: F401
+# (re-exported: several modules import these from here)
 
 _PLY_DTYPES = {
     "char": "i1", "int8": "i1",

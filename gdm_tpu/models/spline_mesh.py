@@ -32,8 +32,8 @@ from gdm_tpu.ops.spline_basis import (
     spline_conv_dense,
 )
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from gdm_tpu.constants import IMAGENET_MEAN, IMAGENET_STD  # noqa: F401
+# (re-exported: several modules import these from here)
 
 
 @dataclasses.dataclass(frozen=True)
