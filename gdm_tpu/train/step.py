@@ -15,8 +15,6 @@ BN momentum scheduler per iteration).  TPU design:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
