@@ -34,7 +34,9 @@ def graph_feature_b(x: jax.Array, k: int, pos: jax.Array | None = None):
         return knn(c, c, k + 1)[:, 1:]
 
     idx = jax.vmap(one)(coords)                            # [B, n, k]
-    xj = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(x, idx)
+    from gdm_tpu.models.randla import gather_neighbours_b
+
+    xj = gather_neighbours_b(x, idx)   # custom VJP: fast fwd/bwd on TPU
     xi = jnp.broadcast_to(x[:, :, None, :], xj.shape)
     return jnp.concatenate([xj - xi, xi], axis=-1)
 
