@@ -14,11 +14,30 @@ for DistributedSampler (SURVEY.md section 2d).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# process-worker plumbing: the dataset is shipped once per worker via the
+# initializer (not per task), and each worker re-seeds its augmentation
+# rng so forked copies don't produce identical random streams
+_worker_dataset = None
+
+
+def _init_worker(dataset, seed):
+    global _worker_dataset
+    _worker_dataset = dataset
+    rng = getattr(dataset, "rng", None)
+    if rng is not None:
+        dataset.rng = np.random.RandomState(
+            (seed + os.getpid()) % (2 ** 31))
+
+
+def _worker_get(i):
+    return _worker_dataset[i]
 
 
 def collate(samples: list[dict]) -> tuple[dict, list[dict]]:
@@ -43,7 +62,10 @@ class DataLoader:
       shuffle: reshuffle each epoch (seeded; call set_epoch like the
         reference's DistributedSampler, train_lm.py:259).
       drop_last: drop the trailing partial batch.
-      num_workers: decode threads.
+      num_workers: decode workers.
+      workers: 'thread' (default; PIL/cv2/scipy release the GIL on big
+        crops) or 'process' (sidesteps the GIL entirely — wins when
+        per-sample python overhead dominates, e.g. small crops).
       prefetch: max batches resident in the queue.
       rank/world: this host's shard of the sample stream.
     """
@@ -51,7 +73,9 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
                  prefetch: int = 4, seed: int = 0, rank: int = 0,
-                 world: int = 1):
+                 world: int = 1, workers: str = "thread"):
+        assert workers in ("thread", "process"), workers
+        self.workers = workers
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -85,16 +109,26 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        if self.workers == "process":
+            def make_pool():
+                return ProcessPoolExecutor(
+                    self.num_workers, initializer=_init_worker,
+                    initargs=(self.dataset, self.seed))
+            get_fn = _worker_get
+        else:
+            def make_pool():
+                return ThreadPoolExecutor(self.num_workers)
+            get_fn = self.dataset.__getitem__
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            with make_pool() as pool:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
                     chunk = idxs[b * self.batch_size:
                                  (b + 1) * self.batch_size]
                     try:
-                        samples = list(pool.map(
-                            self.dataset.__getitem__, chunk))
+                        samples = list(pool.map(get_fn, chunk))
                         out_q.put(collate(samples))
                     except Exception as e:          # surface in consumer
                         out_q.put(e)

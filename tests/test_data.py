@@ -210,6 +210,15 @@ class TestLoaderAndFinalize:
                 seen.add(m[0]["file_name"])
         assert len(seen) == 4
 
+    def test_process_workers(self, bop_root):
+        ds = PoseDataset(_mini_config(), 1, "test", diameter_m=0.1,
+                         data_root=bop_root)
+        dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True,
+                        num_workers=2, workers="process")
+        batches = list(dl)
+        assert len(batches) == 2
+        assert batches[0][0]["rgb_u8"].shape == (2, IN_SIZE, IN_SIZE, 3)
+
     def test_finalize_batch_device(self, bop_root):
         import jax.numpy as jnp
 
