@@ -78,19 +78,28 @@ def _make_model(cfg, diameter_m, mesh_fps, mesh_arr):
     return model, mesh_arr, mesh_arr.xyz, True
 
 
-def _train_inputs(fin, knn_chunk, needs_pyramid):
-    """Model inputs for a finalized batch (train keys included)."""
+def _train_inputs(fin, knn_chunk, needs_pyramid, positive_r=None):
+    """Model inputs for a finalized batch (train keys included).
+
+    positive_r rides in the input dict as a traced scalar so one compiled
+    train step serves every object (diameters differ per object)."""
+    import jax.numpy as jnp
+
     from gdm_tpu.data.pipeline import assemble_inputs
 
     if not needs_pyramid:
-        return {k: fin[k] for k in (
+        inputs = {k: fin[k] for k in (
             "cld_rgb_nrm", "labels", "origin_labels", "match_idx",
             "visible_flag", "RT") if k in fin}
-    return assemble_inputs(
-        fin["rgb"], fin["cld_rgb_nrm"], fin["choose"], fin["xyz_img"],
-        labels=fin["labels"], match_idx=fin["match_idx"],
-        visible_flag=fin["visible_flag"], RT=fin["RT"],
-        knn_chunk=knn_chunk)
+    else:
+        inputs = assemble_inputs(
+            fin["rgb"], fin["cld_rgb_nrm"], fin["choose"], fin["xyz_img"],
+            labels=fin["labels"], match_idx=fin["match_idx"],
+            visible_flag=fin["visible_flag"], RT=fin["RT"],
+            knn_chunk=knn_chunk)
+        if positive_r is not None:
+            inputs["positive_r"] = jnp.float32(positive_r)
+    return inputs
 
 
 def _device_batch(batch, mesh_dev, fill_depth):
@@ -133,79 +142,98 @@ def train(args):
     sol = cfg.solver
     epochs = args.epochs or sol.total_epochs
     batch_size = args.batch_size or sol.train_batch_size
-
-    obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
-        cfg, refd, args.cls_id, args.data_root)
-    log.info("object %s (id %d), diameter %.3f m",
-             obj_name, args.cls_id, diameter_m)
-
-    ds = PoseDataset(cfg, args.cls_id, "train", diameter_m=diameter_m,
-                     data_root=args.data_root,
-                     rng=np.random.RandomState(args.seed
-                                               + jax.process_index()))
-    dl = DataLoader(ds, batch_size, shuffle=True, drop_last=True,
-                    num_workers=args.num_workers, seed=args.seed,
-                    rank=jax.process_index(), world=jax.process_count())
-    log.info("%d samples, %d steps/epoch", len(ds), len(dl))
+    cls_ids = (list(cfg.data.obj_ids) if args.cls_id == "all"
+               else [int(args.cls_id)])
 
     dev_mesh = make_mesh()
     n_dev = len(jax.devices())
     if batch_size % n_dev:
         raise SystemExit(
             f"batch {batch_size} not divisible by {n_dev} devices")
-
-    model, mesh_input, _, needs_pyramid = _make_model(
-        cfg, diameter_m, mesh_fps, mesh_arr)
-    # step_size follows the reference's epochs*len/bs/div/n_replicas
-    # (train_lm.py:441-447) with len(dl) already per-process
-    lr = cyclic_lr(sol.base_lr, sol.max_lr,
-                   max(epochs * len(dl) // sol.clr_div, 1))
     bnm = bn_momentum_schedule(sol.bn_momentum, sol.bn_decay,
                                sol.bn_decay_step, batch_size,
                                sol.bn_momentum_clip)
-
-    batch0, _ = next(iter(dl))
-    fin0 = _device_batch(batch0, dev_mesh, cfg.data.fill_depth)
-    sample_inputs = _train_inputs(fin0, args.knn_chunk, needs_pyramid)
-    mesh_input = replicate(mesh_input, dev_mesh)
-    state = create_train_state(
-        model, jax.random.PRNGKey(args.seed), sample_inputs, mesh_input,
-        lr, weight_decay=sol.weight_decay)
-    state = replicate(state, dev_mesh)
-
-    ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
-    start_epoch = 0
-    if args.resume:
-        state, ep = load_checkpoint(state, ckpt_dir)
-        if ep is not None:
-            start_epoch = ep + 1
-            log.info("resumed from epoch %d", ep)
-
     # the input pyramid is built in its own jit (staged programs schedule
     # better than one monolithic program on TPU; gradients don't flow
-    # through neighbour indices)
+    # through neighbour indices); positive_r rides in the inputs so the
+    # SAME compiled step serves every object in --cls-id all runs
     train_step = make_train_step(bnm, build_pyramid_in_step=False)
-    rng = jax.random.PRNGKey(args.seed + 7)
+    model = None
+    state = None
+    lr = None
 
-    for epoch in range(start_epoch, epochs):
-        dl.set_epoch(epoch)
-        t0 = time.perf_counter()
-        for it, (batch, _) in enumerate(dl):
-            fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
-            inputs = _train_inputs(fin, args.knn_chunk, needs_pyramid)
-            state, metrics = train_step(state, inputs, mesh_input, rng)
-            if it % 100 == 0:
-                m = jax.device_get(metrics)
-                log.info(
-                    "epoch %d it %d loss %.4f (seg %.4f match %.4f) "
-                    "%.2f s", epoch, it, m["loss"], m["seg_loss"],
-                    m["match_loss"], time.perf_counter() - t0)
-                t0 = time.perf_counter()
-        if jax.process_index() == 0 and (
-                (epoch + 1) % sol.checkpoint_every_epochs == 0
-                or epoch + 1 == epochs):
-            path = save_checkpoint(state, ckpt_dir, epoch)
-            log.info("checkpoint -> %s", path)
+    for cls_id in cls_ids:
+        obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
+            cfg, refd, cls_id, args.data_root)
+        log.info("object %s (id %d), diameter %.3f m",
+                 obj_name, cls_id, diameter_m)
+
+        ds = PoseDataset(cfg, cls_id, "train", diameter_m=diameter_m,
+                         data_root=args.data_root,
+                         rng=np.random.RandomState(args.seed
+                                                   + jax.process_index()))
+        dl = DataLoader(ds, batch_size, shuffle=True, drop_last=True,
+                        num_workers=args.num_workers, seed=args.seed,
+                        rank=jax.process_index(), world=jax.process_count())
+        log.info("%d samples, %d steps/epoch", len(ds), len(dl))
+
+        model_i, mesh_input, _, needs_pyramid = _make_model(
+            cfg, diameter_m, mesh_fps, mesh_arr)
+        if model is None:
+            model = model_i
+        positive_r = (cfg.model.neighbor_dis_th * diameter_m
+                      if needs_pyramid else None)
+        # step_size follows the reference's epochs*len/bs/div/n_replicas
+        # (train_lm.py:441-447) with len(dl) already per-process; built
+        # once — a fresh schedule closure per object would change the
+        # optimizer pytree identity and force a train-step recompile
+        if lr is None:
+            import optax
+
+            lr = cyclic_lr(sol.base_lr, sol.max_lr,
+                           max(epochs * len(dl) // sol.clr_div, 1))
+            tx = (optax.adamw(lr, weight_decay=sol.weight_decay)
+                  if sol.weight_decay else optax.adam(lr))
+
+        batch0, _ = next(iter(dl))
+        fin0 = _device_batch(batch0, dev_mesh, cfg.data.fill_depth)
+        sample_inputs = _train_inputs(fin0, args.knn_chunk, needs_pyramid,
+                                      positive_r)
+        mesh_input = replicate(mesh_input, dev_mesh)
+        state = create_train_state(
+            model, jax.random.PRNGKey(args.seed + cls_id), sample_inputs,
+            mesh_input, lr, weight_decay=sol.weight_decay, tx=tx)
+        state = replicate(state, dev_mesh)
+
+        ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
+        start_epoch = 0
+        if args.resume:
+            state, ep = load_checkpoint(state, ckpt_dir)
+            if ep is not None:
+                start_epoch = ep + 1
+                log.info("resumed from epoch %d", ep)
+
+        rng = jax.random.PRNGKey(args.seed + 7 + cls_id)
+        for epoch in range(start_epoch, epochs):
+            dl.set_epoch(epoch)
+            t0 = time.perf_counter()
+            for it, (batch, _) in enumerate(dl):
+                fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
+                inputs = _train_inputs(fin, args.knn_chunk, needs_pyramid,
+                                       positive_r)
+                state, metrics = train_step(state, inputs, mesh_input, rng)
+                if it % 100 == 0:
+                    m = jax.device_get(metrics)
+                    log.info(
+                        "epoch %d it %d loss %.4f (seg %.4f match %.4f) "
+                        "%.2f s", epoch, it, m["loss"], m["seg_loss"],
+                        m["match_loss"], time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+            if jax.process_index() == 0 and (
+                    (epoch + 1) % sol.checkpoint_every_epochs == 0
+                    or epoch + 1 == epochs):
+                path = save_checkpoint(state, ckpt_dir, epoch)
+                log.info("checkpoint -> %s", path)
     return state
 
 
@@ -399,9 +427,11 @@ def build_parser():
                         help="write a jax.profiler trace here "
                              "(inspect with xprof/TensorBoard)")
 
-    t = sub.add_parser("train", help="train one object's model")
+    t = sub.add_parser("train", help="train per-object models")
     common(t)
-    t.add_argument("--cls-id", type=int, required=True)
+    t.add_argument("--cls-id", required=True,
+                   help="object id, or 'all' to train every object in the "
+                        "config sequentially (one shared compile)")
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--resume", action="store_true")
 

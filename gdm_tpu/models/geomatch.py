@@ -101,10 +101,13 @@ class GeoMatch(nn.Module):
             "rgbd": rgbd_features,
         }
         if train:
+            # positive_r may arrive as a runtime input so one compiled
+            # step serves every object (it differs per object diameter)
+            positive_r = inputs.get("positive_r", self.positive_r)
             match_loss = pointwise_matching_loss(
                 rgbd_features, mesh_features, mesh.xyz,
                 inputs["labels"], inputs["match_idx"],
-                inputs["visible_flag"], self.positive_r,
+                inputs["visible_flag"], positive_r,
                 sym_idx=mesh.sym_idx, m=self.circle_m,
                 gamma=self.circle_gamma, feat_dim=self.feat_dim)
             seg_loss = focal_loss(seg, inputs["labels"], gamma=2.0)

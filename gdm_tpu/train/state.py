@@ -31,6 +31,16 @@ class TrainState:
         )
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _jitted_init(model, rng, sample_inputs, sample_mesh):
+    return model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        sample_inputs, sample_mesh, train=True)
+
+
 def create_train_state(
     model,
     init_rng,
@@ -38,20 +48,23 @@ def create_train_state(
     sample_mesh,
     lr_schedule,
     weight_decay: float = 0.0,
+    tx: optax.GradientTransformation | None = None,
 ) -> TrainState:
     """Initialise params/batch_stats and the Adam optimizer.
 
     Adam lr from the cyclic schedule (the reference runs Adam despite its
-    config naming Ranger — train_lm.py:414 vs lmo_cfg.py:54).
+    config naming Ranger — train_lm.py:414 vs lmo_cfg.py:54).  Pass a
+    prebuilt `tx` when creating states for several objects: a fresh optax
+    transformation holds fresh closures, which changes the TrainState's
+    static treedef and forces train-step recompiles.
     """
     # jit the init: eager flax init dispatches thousands of tiny ops,
-    # which is pathological on remote-dispatch TPU backends
-    init_fn = jax.jit(lambda r, inp, m: model.init(
-        {"params": r, "dropout": jax.random.fold_in(r, 1)},
-        inp, m, train=True))
-    variables = init_fn(init_rng, sample_inputs, sample_mesh)
-    tx = optax.adamw(lr_schedule, weight_decay=weight_decay) \
-        if weight_decay else optax.adam(lr_schedule)
+    # which is pathological on remote-dispatch TPU backends; the jit is
+    # module-level + static-model so multi-object loops reuse the compile
+    variables = _jitted_init(model, init_rng, sample_inputs, sample_mesh)
+    if tx is None:
+        tx = optax.adamw(lr_schedule, weight_decay=weight_decay) \
+            if weight_decay else optax.adam(lr_schedule)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(

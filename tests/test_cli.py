@@ -83,41 +83,46 @@ def bop_root_2obj(tmp_path_factory):
 
     K = np.array([[140.0, 0, IM_W / 2], [0, 140.0, IM_H / 2], [0, 0, 1]],
                  np.float32)
-    sdir = osp.join(root, "test", "000000")
-    for sub in ("rgb", "depth", "mask_visib"):
-        os.makedirs(osp.join(sdir, sub))
-    gt, gt_info, cams, det = {}, {}, {}, {}
-    lines = []
-    for i in range(4):
-        oid = 1 + (i % 2)
-        R = np.linalg.qr(rng.randn(3, 3))[0]
-        if np.linalg.det(R) < 0:
-            R[:, 0] *= -1
-        t = np.array([0.0, 0.0, 0.5])
-        pose = np.hstack([R, t[:, None]]).astype(np.float32)
-        rgb, depth, mask, bbox = test_data._render_frame(
-            meshes[oid], pose, K)
-        Image.fromarray(rgb).save(osp.join(sdir, f"rgb/{i:06d}.png"))
-        Image.fromarray(depth).save(osp.join(sdir, f"depth/{i:06d}.png"))
-        Image.fromarray(mask).save(
-            osp.join(sdir, f"mask_visib/{i:06d}_000000.png"))
-        gt[str(i)] = [{"obj_id": oid, "cam_R_m2c": R.ravel().tolist(),
-                       "cam_t_m2c": (t * 1000).tolist()}]
-        gt_info[str(i)] = [{"bbox_obj": bbox,
-                            "px_count_visib": int((mask > 0).sum())}]
-        cams[str(i)] = {"cam_K": K.ravel().tolist(), "depth_scale": 0.1}
-        x1, y1, w, h = bbox
-        det[f"0/{i}"] = {str(oid): [
-            {"score": 0.9, "bbox": [x1, y1, x1 + w, y1 + h]}]}
-        lines.append(f"000000/{i:06d}")
-    for name, obj in (("scene_gt", gt), ("scene_gt_info", gt_info),
-                      ("scene_camera", cams)):
-        with open(osp.join(sdir, f"{name}.json"), "w") as f:
-            json.dump(obj, f)
-    with open(osp.join(root, "test", "train.txt"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    with open(osp.join(root, "test", "real_det.json"), "w") as f:
-        json.dump(det, f)
+    for subset in ("train_pbr", "test"):
+        sdir = osp.join(root, subset, "000000")
+        for sub in ("rgb", "depth", "mask_visib"):
+            os.makedirs(osp.join(sdir, sub))
+        ext = "jpg" if subset == "train_pbr" else "png"
+        gt, gt_info, cams, det = {}, {}, {}, {}
+        lines = []
+        for i in range(4):
+            oid = 1 + (i % 2)
+            R = np.linalg.qr(rng.randn(3, 3))[0]
+            if np.linalg.det(R) < 0:
+                R[:, 0] *= -1
+            t = np.array([0.0, 0.0, 0.5])
+            pose = np.hstack([R, t[:, None]]).astype(np.float32)
+            rgb, depth, mask, bbox = test_data._render_frame(
+                meshes[oid], pose, K)
+            Image.fromarray(rgb).save(
+                osp.join(sdir, f"rgb/{i:06d}.{ext}"), quality=95)
+            Image.fromarray(depth).save(
+                osp.join(sdir, f"depth/{i:06d}.png"))
+            Image.fromarray(mask).save(
+                osp.join(sdir, f"mask_visib/{i:06d}_000000.png"))
+            gt[str(i)] = [{"obj_id": oid, "cam_R_m2c": R.ravel().tolist(),
+                           "cam_t_m2c": (t * 1000).tolist()}]
+            gt_info[str(i)] = [{"bbox_obj": bbox,
+                                "px_count_visib": int((mask > 0).sum())}]
+            cams[str(i)] = {"cam_K": K.ravel().tolist(),
+                            "depth_scale": 0.1}
+            x1, y1, w, h = bbox
+            det[f"0/{i}"] = {str(oid): [
+                {"score": 0.9, "bbox": [x1, y1, x1 + w, y1 + h]}]}
+            lines.append(f"000000/{i:06d}")
+        for name, obj in (("scene_gt", gt), ("scene_gt_info", gt_info),
+                          ("scene_camera", cams)):
+            with open(osp.join(sdir, f"{name}.json"), "w") as f:
+                json.dump(obj, f)
+        with open(osp.join(root, subset, "train.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(osp.join(root, subset, "real_det.json"), "w") as f:
+            json.dump(det, f)
     return root
 
 
@@ -143,6 +148,30 @@ def test_eval_two_objects_shares_compile(monkeypatch_module, bop_root_2obj,
     assert set(results["recalls"].keys()) == {"ape", "benchvise"}
     assert len(results["errors"]["ape"]["ad"]) == 2
     assert len(results["errors"]["benchvise"]["ad"]) == 2
+
+
+def test_train_all_objects(monkeypatch_module, bop_root_2obj,
+                           tmp_path_factory):
+    """--cls-id all trains both objects sequentially with one shared
+    compiled step, producing a checkpoint per object."""
+    import dataclasses
+
+    from gdm_tpu.configs import base as cfg_base
+
+    cfg = test_data._mini_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, obj_ids=(1, 2)))
+    monkeypatch_module.setitem(cfg_base._PRESETS, "lmo", cfg)
+
+    ckpt_root = str(tmp_path_factory.mktemp("ck_all"))
+    cli.main([
+        "train", "--dataset", "lmo", "--data-root", bop_root_2obj,
+        "--ckpt-root", ckpt_root, "--cls-id", "all", "--epochs", "1",
+        "--batch-size", "2", "--num-workers", "2", "--knn-chunk", "64",
+    ])
+    for obj in ("ape", "benchvise"):
+        assert osp.exists(
+            osp.join(ckpt_root, "checkpoints", obj, "latest")), obj
 
 
 def test_train_then_eval_dgcnn(monkeypatch_module, bop_root,
