@@ -11,7 +11,10 @@ from gdm_tpu.eval.metrics import (
     re_err,
     te_err,
     proj_err,
+    mssd_err,
+    mspd_err,
     get_closest_rot,
     voc_auc,
 )
 from gdm_tpu.eval.evaluator import Evaluator
+from gdm_tpu.eval.vsd import vsd_err, vsd_recall

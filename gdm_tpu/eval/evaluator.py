@@ -60,7 +60,7 @@ class Evaluator:
 
     def __init__(self, dataset_name, obj_names, diameters, models_pts,
                  sym_objs=(), sym_rots=None, output_dir=None,
-                 obj2id=None):
+                 obj2id=None, vsd_meshes=None):
         self.dataset_name = dataset_name
         self.obj_names = list(obj_names)
         self.diameters = diameters
@@ -69,6 +69,11 @@ class Evaluator:
         self.sym_rots = sym_rots or {}
         self.output_dir = output_dir
         self.obj2id = obj2id or {}
+        # {obj_name: (verts_m [V,3], faces [F,3])} enables the BOP VSD
+        # metric (device-rendered, gdm_tpu/eval/vsd.py); gt entries must
+        # then carry the test depth ('depth' array or
+        # 'depth_file'+'depth_factor')
+        self.vsd_meshes = vsd_meshes or {}
         self.reset()
 
     def reset(self):
@@ -114,10 +119,14 @@ class Evaluator:
             diameter = self.diameters[obj_name]
             pts = self.models_pts[obj_name]
             is_sym = obj_name in self.sym_objs
+            do_vsd = obj_name in self.vsd_meshes
+            if do_vsd:
+                rec["vsd"] = []
+                err["vsd"] = []
 
             for file_name, gt in obj_gts.items():
                 if file_name not in cur_preds:
-                    for m in METRIC_NAMES:
+                    for m in rec:
                         rec[m].append(0.0)
                     continue
                 pred = cur_preds[file_name]
@@ -173,6 +182,19 @@ class Evaluator:
                 rec["proj_5"].append(float(p_error < 5))
                 rec["proj_10"].append(float(p_error < 10))
 
+                if do_vsd:
+                    depth = self._gt_depth(gt)
+                    if depth is not None:
+                        from gdm_tpu.eval.vsd import (
+                            BOP19_CORRECT_TH, vsd_err)
+
+                        verts, faces_ = self.vsd_meshes[obj_name]
+                        ve = vsd_err(R_pred, t_pred, R_gt, t_gt, depth,
+                                     K, verts, faces_, diameter)
+                        err["vsd"].append(float(np.mean(ve)))
+                        rec["vsd"].append(
+                            float(np.mean(ve < BOP19_CORRECT_TH[0])))
+
             recalls[obj_name] = rec
             errors[obj_name] = err
             aucs[obj_name] = voc_auc(err["ad"], max_dis=0.1)
@@ -196,14 +218,31 @@ class Evaluator:
                 "table": table}
 
     @staticmethod
+    def _gt_depth(gt):
+        """Test depth (metres) for a gt entry, or None if unavailable."""
+        if "depth" in gt:
+            return np.asarray(gt["depth"], np.float32)
+        if "depth_file" in gt:
+            from PIL import Image
+
+            with Image.open(gt["depth_file"]) as di:
+                d = np.asarray(di, np.float32)
+            return d / float(gt.get("depth_factor", 1000.0))
+        return None
+
+    @staticmethod
     def _format_table(recalls, errors, aucs):
         from tabulate import tabulate
 
         obj_names = sorted(recalls.keys())
         header = ["objects"] + obj_names + [f"Avg({len(obj_names)})"]
         rows = [header]
-        for m in METRIC_NAMES:
-            vals = [100 * np.mean(recalls[o][m]) if recalls[o][m] else 0.0
+        metric_names = list(METRIC_NAMES)
+        if any("vsd" in recalls[o] for o in obj_names):
+            metric_names.append("vsd")
+        for m in metric_names:
+            vals = [100 * np.mean(recalls[o][m])
+                    if recalls[o].get(m) else 0.0
                     for o in obj_names]
             rows.append([m] + [f"{v:.2f}" for v in vals]
                         + [f"{np.mean(vals):.2f}" if vals else "0.00"])

@@ -1,8 +1,10 @@
 """6D pose error metrics (host-side numpy).
 
 Reference: lib/pysixd/pose_error.py (add :297, adi :315, re :400, te :425,
-arp_2d :440), utils/pose_utils.py get_closest_rot (:430-454), and the
-VOC-style AUC of utils/basic_utils.py:813-820 (cal_auc + VOCap).
+arp_2d :440, mssd :131, mspd :156), utils/pose_utils.py get_closest_rot
+(:430-454), and the VOC-style AUC of utils/basic_utils.py:813-820
+(cal_auc + VOCap).  The VSD error lives in gdm_tpu/eval/vsd.py (it needs
+the device renderer).
 """
 
 from __future__ import annotations
@@ -53,6 +55,41 @@ def proj_err(R_est, t_est, R_gt, t_gt, pts, K) -> float:
     return float(np.linalg.norm(
         _project(pts, R_est, t_est, K) - _project(pts, R_gt, t_gt, K),
         axis=1).mean())
+
+
+def _sym_poses(R_gt, t_gt, syms):
+    """Yield (R, t) of every symmetric equivalent of a GT pose.
+
+    syms: None, or a sequence of (S_R [3,3], S_t [3]) pairs / dicts with
+    'R'/'t' (BOP models_info convention, pose_error.py:146-152).
+    """
+    if not syms:
+        yield R_gt, np.ravel(t_gt)
+        return
+    for sym in syms:
+        if isinstance(sym, dict):
+            S_R, S_t = sym["R"], np.ravel(sym.get("t", np.zeros(3)))
+        else:
+            S_R, S_t = sym[0], np.ravel(sym[1])
+        yield R_gt @ S_R, R_gt @ S_t + np.ravel(t_gt)
+
+
+def mssd_err(R_est, t_est, R_gt, t_gt, pts, syms=None) -> float:
+    """Maximum Symmetry-aware Surface Distance (pose_error.py:131-154).
+
+    syms should include the identity transform (BOP convention)."""
+    pe = transform_pts(pts, R_est, np.ravel(t_est))
+    return float(min(
+        np.linalg.norm(pe - transform_pts(pts, R, t), axis=1).max()
+        for R, t in _sym_poses(R_gt, t_gt, syms)))
+
+
+def mspd_err(R_est, t_est, R_gt, t_gt, pts, K, syms=None) -> float:
+    """Maximum Symmetry-aware Projection Distance (pose_error.py:156-180)."""
+    pr = _project(pts, R_est, np.ravel(t_est), K)
+    return float(min(
+        np.linalg.norm(pr - _project(pts, R, t, K), axis=1).max()
+        for R, t in _sym_poses(R_gt, t_gt, syms)))
 
 
 def get_closest_rot(R_est, R_gt, sym_rots):

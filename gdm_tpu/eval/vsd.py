@@ -1,0 +1,241 @@
+"""Visible Surface Discrepancy (BOP VSD) — fully on-device.
+
+Reference: lib/pysixd/pose_error.py:22-129 (vsd), lib/pysixd/visibility.py
+(bop19 visibility masks), lib/pysixd/misc.py:571-591 (depth->distance
+image), driven offline by lib/pysixd/scripts/eval_calc_errors.py with
+defaults delta=15mm, taus=0.05:0.05:0.5 of the diameter, correct_th=0.3
+(eval_calc_scores.py:16-18).  The reference renders full frames with an
+external C++/OpenGL renderer; here both model renders AND the mask/cost
+math run in one jitted XLA program over a window covering the object
+(outside the window the model depth is 0, so the visibility masks — which
+require d_model > 0 — are unaffected; pixels beyond the full image bounds
+are zeroed to match a full-frame render exactly).
+
+Per pose pair the host only picks the window origin/size bucket and crops
+the test depth; everything else is device-side.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdm_tpu.ops.render_depth import render_depth_window
+
+BOP19_TAUS = tuple(float(t) for t in np.arange(0.05, 0.51, 0.05))
+BOP19_DELTA = 0.015          # 15 mm (eval_calc_errors.py:37-48)
+BOP19_CORRECT_TH = (0.3,)    # eval_calc_scores.py:18
+
+_WINDOW_BUCKETS = (64, 128, 256, 512, 1024)
+_FACE_BUCKET_MIN = 1024
+
+# per-mesh subdivision cache: the raster tile bounds screen-space triangle
+# size, so the required 3-D edge bound depends on how close the object can
+# get; z is bucketed to powers of two so one subdivision serves all frames
+# in a range of distances
+_MESH_CACHE: dict = {}
+
+
+def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
+                   z_min: float, tile: int):
+    """Subdivide (cached) so every triangle fits the raster tile at z_min."""
+    import zlib
+
+    fx = float(max(K[0, 0], K[1, 1]))
+    # bucket z_min in 1.25x steps: subdivided face count scales with
+    # (1/zb)^2, so coarse pow2 buckets would cost up to 4x the raster
+    # work; 1.25x granularity caps the overshoot at ~1.56x for at most a
+    # handful of cache entries per object
+    zq = max(z_min, 0.126)
+    zb = float(max(0.125, 1.25 ** np.floor(np.log(zq) / np.log(1.25))))
+    key = (zlib.crc32(verts.tobytes()), zlib.crc32(faces.tobytes()),
+           verts.shape[0], faces.shape[0], tile, zb)
+    if key not in _MESH_CACHE:
+        from gdm_tpu.ops.render_depth import subdivide_max_edge
+
+        # screen extent of a 3-D edge e at depth >= zb is bounded by
+        # fx * e / zb * (1 + r) with r = max |x/z| over in-frame pixels
+        # (~0.75 covers the frame corner of typical BOP intrinsics); the
+        # raster tile covers bboxes up to tile-2 pixels (centre sampling)
+        max_edge = (tile - 2) * zb / (fx * 1.75)
+        v, f = subdivide_max_edge(verts, faces, max_edge)
+        nf = len(f)
+        fb = _FACE_BUCKET_MIN
+        while fb < nf:
+            fb *= 2
+        fp = np.zeros((fb, 3), np.int32)
+        fp[:nf] = f
+        # device-resident: the mesh is re-used for every frame of the
+        # object; re-uploading ~MBs per call through the tunnel is waste
+        _MESH_CACHE[key] = (jnp.asarray(v), jnp.asarray(fp))
+    return _MESH_CACHE[key]
+
+
+def _dist_factor(origin, window, K):
+    """Per-pixel depth->distance multiplier at integer pixel coords
+    (misc.py:571-591 uses the integer grid, not pixel centres)."""
+    h, w = window
+    x = origin[0] + jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = origin[1] + jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = (x - K[0, 2]) / K[0, 0]
+    ys = (y - K[1, 2]) / K[1, 1]
+    return jnp.sqrt(xs * xs + ys * ys + 1.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "tile", "n_taus", "cost_type",
+                     "normalized_by_diameter"))
+def _vsd_core(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
+              depth_test_win, im_hw, taus, delta, diameter,
+              window=(256, 256), tile=16, n_taus=10, cost_type="step",
+              normalized_by_diameter=True):
+    h, w = window
+    v_est = verts @ R_est.T + t_est[None, :]
+    v_gt = verts @ R_gt.T + t_gt[None, :]
+    d_est = render_depth_window(v_est, faces, K, origin, window, tile)
+    d_gt = render_depth_window(v_gt, faces, K, origin, window, tile)
+
+    # zero model depth beyond the full image bounds (a full-frame render
+    # has no such pixels)
+    x = origin[0] + jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = origin[1] + jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    in_im = ((x >= 0) & (x < im_hw[1]) & (y >= 0) & (y < im_hw[0]))
+    d_est = jnp.where(in_im, d_est, 0.0)
+    d_gt = jnp.where(in_im, d_gt, 0.0)
+
+    # depth -> distance images (misc.py:571-591)
+    f = _dist_factor(origin, window, K)
+    dist_test = depth_test_win * f
+    dist_est = d_est * f
+    dist_gt = d_gt * f
+
+    # bop19 visibility (visibility.py:34-36,75-76)
+    def visib(d_model):
+        return ((d_model - dist_test <= delta) | (dist_test == 0)) \
+            & (d_model > 0)
+
+    visib_gt = visib(dist_gt)
+    visib_est = visib(dist_est) | (visib_gt & (dist_est > 0))
+
+    inter = visib_gt & visib_est
+    union = visib_gt | visib_est
+    union_count = jnp.sum(union)
+    comp_count = union_count - jnp.sum(inter)
+
+    dists = jnp.abs(dist_gt - dist_est)
+    if normalized_by_diameter:
+        dists = dists / diameter
+
+    def err_for_tau(tau):
+        if cost_type == "step":
+            costs = (dists >= tau).astype(jnp.float32)
+        elif cost_type == "tlinear":
+            costs = jnp.minimum(dists / tau, 1.0)
+        else:
+            raise ValueError(f"unknown cost_type {cost_type}")
+        c = jnp.sum(jnp.where(inter, costs, 0.0))
+        return jnp.where(union_count == 0, 1.0,
+                         (c + comp_count) / jnp.maximum(union_count, 1))
+
+    return jnp.stack([err_for_tau(taus[i]) for i in range(n_taus)])
+
+
+def _bucket(v, buckets):
+    for b in buckets:
+        if v <= b:
+            return b
+    return buckets[-1]
+
+
+def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
+            diameter, delta=BOP19_DELTA, taus=BOP19_TAUS,
+            normalized_by_diameter=True, cost_type="step",
+            tile=16) -> np.ndarray:
+    """VSD errors, one per tau (pose_error.py:22-129 semantics).
+
+    Args:
+      R_est/t_est/R_gt/t_gt: poses (metres).
+      depth_test: [H, W] metric test depth (0 = missing).
+      K: [3, 3] intrinsics.
+      verts/faces: render mesh (metres, object frame).  Subdivision to
+        the raster-tile bound happens internally (cached per mesh and
+        distance bucket) — pass the mesh as loaded.
+
+    Returns: [len(taus)] float errors in [0, 1].
+    """
+    depth_test = np.asarray(depth_test, np.float32)
+    imh, imw = depth_test.shape
+    R_est = np.asarray(R_est, np.float32)
+    R_gt = np.asarray(R_gt, np.float32)
+    t_est = np.asarray(t_est, np.float32).reshape(3)
+    t_gt = np.asarray(t_gt, np.float32).reshape(3)
+    verts = np.asarray(verts, np.float32)
+    Knp = np.asarray(K, np.float32)
+
+    # host: window = union bbox of both projections + raster margin
+    def proj(R, t):
+        vc = verts @ R.T + t[None, :]
+        z = np.maximum(vc[:, 2], 1e-9)
+        u = vc[:, 0] * Knp[0, 0] / z + Knp[0, 2]
+        v = vc[:, 1] * Knp[1, 1] / z + Knp[1, 2]
+        return u, v
+
+    ue, ve = proj(R_est, t_est)
+    ug, vg = proj(R_gt, t_gt)
+    u = np.concatenate([ue, ug])
+    v = np.concatenate([ve, vg])
+    m = tile + 2.0
+    x0, x1 = np.floor(u.min() - m), np.ceil(u.max() + m)
+    y0, y1 = np.floor(v.min() - m), np.ceil(v.max() + m)
+    # pixels outside the image never contribute (masked in-core) — clip
+    # the window to the frame so far-out-of-view estimates stay cheap
+    x0, x1 = np.clip([x0, x1], -m, imw + m)
+    y0, y1 = np.clip([y0, y1], -m, imh + m)
+    side = _bucket(max(x1 - x0, y1 - y0, 1.0), _WINDOW_BUCKETS)
+
+    # crop the test depth at the window (zero-padded outside the frame)
+    win = np.zeros((side, side), np.float32)
+    ox, oy = int(x0), int(y0)
+    sx0, sy0 = max(0, ox), max(0, oy)
+    sx1, sy1 = min(imw, ox + side), min(imh, oy + side)
+    if sx1 > sx0 and sy1 > sy0:
+        win[sy0 - oy:sy1 - oy, sx0 - ox:sx1 - ox] = \
+            depth_test[sy0:sy1, sx0:sx1]
+    origin = np.array([ox, oy], np.float32)
+
+    z_min = float(min((verts @ R_est.T + t_est)[:, 2].min(),
+                      (verts @ R_gt.T + t_gt)[:, 2].min()))
+    verts_s, faces_p = _prepared_mesh(
+        verts, np.asarray(faces, np.int32), Knp, z_min, tile)
+
+    errs = _vsd_core(
+        verts_s, faces_p,
+        jnp.asarray(R_est), jnp.asarray(t_est),
+        jnp.asarray(R_gt), jnp.asarray(t_gt),
+        jnp.asarray(Knp), jnp.asarray(origin),
+        jnp.asarray(win), jnp.asarray([imh, imw], np.float32),
+        jnp.asarray(list(taus), np.float32),
+        jnp.asarray(delta, np.float32),
+        jnp.asarray(diameter, np.float32),
+        window=(side, side), tile=tile, n_taus=len(taus),
+        cost_type=cost_type,
+        normalized_by_diameter=normalized_by_diameter)
+    return np.asarray(errs)
+
+
+def vsd_recall(errors_per_frame, correct_ths=BOP19_CORRECT_TH) -> float:
+    """Mean recall over frames x taus x thresholds.
+
+    BOP19 scoring averages `e < th` over the tau grid and the threshold
+    grid (eval_calc_scores.py:18 uses th=0.3; the BOP19 challenge also
+    averages th over 0.05:0.05:0.5 — pass correct_ths accordingly).
+    """
+    errs = np.asarray(list(errors_per_frame), np.float64)  # [n, n_taus]
+    if errs.size == 0:
+        return 0.0
+    hits = [(errs < th).mean() for th in correct_ths]
+    return float(np.mean(hits))

@@ -12,6 +12,7 @@ path (SURVEY.md section 2c):
   pointops       <- lib/pointops CUDA extension (fps/gather/group/interpolate)
   spline_basis   <- external torch_spline_conv CUDA kernels
   subsample      <- models/RandLA/utils/cpp_wrappers/cpp_subsampling
+  render_depth   <- external bop_renderer / glumpy GL depth renderers
 """
 
 from gdm_tpu.ops.knn import knn, pairwise_sqdist
@@ -21,6 +22,7 @@ from gdm_tpu.ops.depth_fill import fill_in_fast, fill_in_multiscale
 from gdm_tpu.ops.kabsch import kabsch, weighted_kabsch
 from gdm_tpu.ops.ransac import ransac_kabsch
 from gdm_tpu.ops.meanshift import mean_shift
+from gdm_tpu.ops.render_depth import render_depth_window, subdivide_max_edge
 from gdm_tpu.ops.pointops import (
     farthest_point_sample,
     gather_points,

@@ -1,0 +1,162 @@
+"""Device-side depth rendering of triangle meshes (z-buffer rasterizer).
+
+TPU-native replacement for the external ``bop_renderer`` / glumpy OpenGL
+renderers the reference binds for the BOP VSD metric
+(lib/pysixd/renderer_cpp.py:1-35, renderer.py:94-99, pose_error.py:59-79).
+Those render a full depth frame with a C++/GL rasterizer; here the render
+is a jitted XLA program:
+
+  * each triangle is rasterized over a fixed ``tile`` x ``tile`` pixel
+    block anchored at its screen bbox (fixed shapes — no data-dependent
+    loop bounds), with perspective-correct 1/z interpolation;
+  * per-pixel z-buffering is a scatter-min (``.at[idx].min``) into a flat
+    window buffer, so overlapping triangles resolve exactly like a
+    hardware depth test;
+  * correctness requires every triangle's screen bbox to fit in ``tile``
+    pixels — :func:`subdivide_max_edge` bounds the 3-D edge length per
+    mesh ONCE at load time, which bounds the screen size for any pose not
+    closer than ``z_min`` (edge_px <= f * max_edge / z_min).
+
+Rendering is window-local: callers pass the window origin in full-image
+pixel coordinates and a static window size covering the object's
+projection.  Outside the window the model depth is implicitly 0, which the
+VSD visibility masks (gdm_tpu/eval/vsd.py) treat as "model not present" —
+identical to rendering the full frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def subdivide_max_edge(verts: np.ndarray, faces: np.ndarray,
+                       max_edge: float) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side 4-way loop subdivision until every edge is <= max_edge.
+
+    One-time per-mesh preprocessing (numpy).  Each oversized triangle is
+    split at its edge midpoints into 4 triangles; repeats until all edges
+    are short enough.  Midpoints are NOT welded across faces — harmless
+    for depth rendering (coincident geometry), and it keeps the pass a
+    pure per-face map.
+
+    Returns (verts [V',3] float32, faces [F',3] int32).
+    """
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    for _ in range(32):  # hard stop; each pass halves edge lengths
+        tri = verts[faces]                                   # [F,3,3]
+        e = np.linalg.norm(tri - np.roll(tri, -1, axis=1), axis=2)
+        big = e.max(axis=1) > max_edge
+        if not big.any():
+            break
+        keep = faces[~big]
+        t = tri[big]                                         # [B,3,3]
+        m01 = 0.5 * (t[:, 0] + t[:, 1])
+        m12 = 0.5 * (t[:, 1] + t[:, 2])
+        m20 = 0.5 * (t[:, 2] + t[:, 0])
+        base = len(verts)
+        newv = np.concatenate([m01, m12, m20], axis=0)
+        b = len(t)
+        i01 = np.arange(b) + base
+        i12 = np.arange(b) + base + b
+        i20 = np.arange(b) + base + 2 * b
+        v0, v1, v2 = faces[big, 0], faces[big, 1], faces[big, 2]
+        newf = np.concatenate([
+            np.stack([v0, i01, i20], 1),
+            np.stack([i01, v1, i12], 1),
+            np.stack([i12, v2, i20], 1),
+            np.stack([i01, i12, i20], 1),
+        ], axis=0)
+        verts = np.concatenate([verts, newv], axis=0).astype(np.float32)
+        faces = np.concatenate([keep, newf], axis=0)
+    return verts, faces.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tile"))
+def render_depth_window(
+    verts_cam: jax.Array,
+    faces: jax.Array,
+    K: jax.Array,
+    origin: jax.Array,
+    window: tuple[int, int] = (256, 256),
+    tile: int = 16,
+) -> jax.Array:
+    """Rasterize a camera-frame mesh into a window-local depth image.
+
+    Args:
+      verts_cam: [V, 3] metres, camera frame (already R @ x + t).
+      faces:     [F, 3] int32 vertex indices; degenerate (zero-area)
+                 faces — e.g. all-zero padding rows — are skipped.
+      K:         [3, 3] intrinsics of the FULL image.
+      origin:    [2] (ox, oy) window origin in full-image pixels.
+      window:    static (h, w) of the rendered window.
+      tile:      static raster block; every triangle's screen bbox must
+                 fit in ``tile`` pixels (see subdivide_max_edge).
+
+    Returns:
+      [h, w] float32 depth (z, metres); 0 where no surface.
+    """
+    h, w = window
+    eps = 1e-9
+    z = verts_cam[:, 2]
+    zs = jnp.maximum(z, eps)
+    u = verts_cam[:, 0] * K[0, 0] / zs + K[0, 2] - origin[0]
+    v = verts_cam[:, 1] * K[1, 1] / zs + K[1, 2] - origin[1]
+    pix = jnp.stack([u, v], axis=1)                          # [V,2] window px
+
+    p = pix[faces]                                           # [F,3,2]
+    fz = z[faces]                                            # [F,3]
+    front = jnp.all(fz > eps, axis=1)
+
+    # signed double area; degenerate or back/front both rasterized (depth
+    # test handles orientation), zero-area skipped
+    d01 = p[:, 1] - p[:, 0]
+    d02 = p[:, 2] - p[:, 0]
+    area = d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0]     # [F]
+    ok = front & (jnp.abs(area) > eps)
+
+    # raster anchor: bbox min, snapped to pixel centres
+    bb0 = jnp.floor(jnp.min(p, axis=1))                      # [F,2]
+    ix = bb0[:, 0, None, None] + jax.lax.broadcasted_iota(
+        jnp.float32, (1, tile, tile), 2)                     # [F,T,T] col
+    iy = bb0[:, 1, None, None] + jax.lax.broadcasted_iota(
+        jnp.float32, (1, tile, tile), 1)                     # [F,T,T] row
+    sx = ix + 0.5                                            # sample at centres
+    sy = iy + 0.5
+
+    # barycentric via edge functions, normalized by signed area
+    def edge(ax, ay, bx, by):
+        return ((bx - ax)[:, None, None] * (sy - ay[:, None, None])
+                - (by - ay)[:, None, None] * (sx - ax[:, None, None]))
+
+    w0 = edge(p[:, 1, 0], p[:, 1, 1], p[:, 2, 0], p[:, 2, 1])
+    w1 = edge(p[:, 2, 0], p[:, 2, 1], p[:, 0, 0], p[:, 0, 1])
+    w2 = edge(p[:, 0, 0], p[:, 0, 1], p[:, 1, 0], p[:, 1, 1])
+    inv_a = 1.0 / jnp.where(jnp.abs(area) > eps, area, 1.0)
+    b0 = w0 * inv_a[:, None, None]
+    b1 = w1 * inv_a[:, None, None]
+    b2 = w2 * inv_a[:, None, None]
+    inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+
+    # perspective-correct depth: 1/z interpolates linearly in screen space
+    invz = (b0 / fz[:, 0, None, None] + b1 / fz[:, 1, None, None]
+            + b2 / fz[:, 2, None, None])
+    zpix = 1.0 / jnp.maximum(invz, eps)
+
+    px = ix.astype(jnp.int32)
+    py = iy.astype(jnp.int32)
+    valid = (inside & ok[:, None, None] & (px >= 0) & (px < w)
+             & (py >= 0) & (py < h) & (zpix > eps))
+    flat_idx = jnp.where(valid, py * w + px, h * w)          # h*w = dropped
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    zval = jnp.where(valid, zpix, big)
+
+    buf = jnp.full((h * w,), big, jnp.float32)
+    buf = buf.at[flat_idx.reshape(-1)].min(
+        zval.reshape(-1), mode="drop")
+    depth = buf.reshape(h, w)
+    return jnp.where(jnp.isfinite(depth), depth, 0.0)

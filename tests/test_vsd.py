@@ -1,0 +1,231 @@
+"""Depth rasterizer + VSD metric tests (reference: lib/pysixd/pose_error.py
+vsd, visibility.py, misc.py depth_im_to_dist_im_fast)."""
+
+import numpy as np
+import pytest
+
+from gdm_tpu.eval.vsd import vsd_err, vsd_recall
+from gdm_tpu.ops.render_depth import render_depth_window, subdivide_max_edge
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+
+
+def square_mesh(half=0.1, z=1.0, cx=0.0, cy=0.0):
+    """Two triangles forming an axis-aligned square at depth z."""
+    verts = np.array([
+        [cx - half, cy - half, z],
+        [cx + half, cy - half, z],
+        [cx + half, cy + half, z],
+        [cx - half, cy + half, z],
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, faces
+
+
+def render_full(verts, faces, K, hw=(480, 640), tile=16, max_edge=None):
+    import jax.numpy as jnp
+    if max_edge is None:
+        # bound screen-space triangle size to the raster tile
+        zmin = float(verts[:, 2].min())
+        max_edge = 0.5 * (tile - 4) * zmin / float(K[0, 0])
+    v, f = subdivide_max_edge(verts, faces, max_edge)
+    d = render_depth_window(jnp.asarray(v), jnp.asarray(f),
+                            jnp.asarray(K), jnp.zeros(2, np.float32),
+                            window=hw, tile=tile)
+    return np.asarray(d)
+
+
+class TestSubdivide:
+    def test_edges_bounded_and_surface_preserved(self):
+        verts, faces = square_mesh(half=0.2, z=1.0)
+        v, f = subdivide_max_edge(verts, faces, 0.05)
+        tri = v[f]
+        e = np.linalg.norm(tri - np.roll(tri, -1, axis=1), axis=2)
+        assert e.max() <= 0.05 + 1e-6
+        # all new vertices stay on the z=1 plane and inside the square
+        assert np.allclose(v[:, 2], 1.0)
+        assert v[:, :2].min() >= -0.2 - 1e-6
+        assert v[:, :2].max() <= 0.2 + 1e-6
+        # area preserved (sum of unsigned triangle areas)
+        def area(vv, ff):
+            t = vv[ff]
+            c = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+            return 0.5 * np.abs(c[:, 2]).sum()
+        assert area(v, f) == pytest.approx(area(verts, faces), rel=1e-5)
+
+    def test_small_mesh_untouched(self):
+        verts, faces = square_mesh(half=0.01)
+        v, f = subdivide_max_edge(verts, faces, 1.0)
+        assert len(v) == 4 and len(f) == 2
+
+
+class TestRenderDepth:
+    def test_flat_square_depth_and_coverage(self):
+        verts, faces = square_mesh(half=0.1, z=2.0)
+        d = render_full(verts, faces, K)
+        # projected square: x in [320 +/- 0.1*500/2 = 25] -> [295, 345)
+        inside = d[240 - 20:240 + 20, 320 - 20:320 + 20]
+        assert np.all(inside > 0)
+        assert np.allclose(inside[inside > 0], 2.0, atol=1e-4)
+        # outside the projection: empty
+        assert d[:200, :].max() == 0.0
+        covered = (d > 0)
+        ys, xs = np.nonzero(covered)
+        assert xs.min() >= 294 and xs.max() <= 345
+        assert ys.min() >= 214 and ys.max() <= 265
+
+    def test_no_holes_across_shared_edges(self):
+        verts, faces = square_mesh(half=0.15, z=1.5)
+        d = render_full(verts, faces, K, max_edge=0.02)
+        # the interior of the projected square must be fully covered
+        # despite ~hundreds of shared triangle edges
+        r = int(0.14 * 500 / 1.5)  # safely interior
+        inside = d[240 - r:240 + r, 320 - r:320 + r]
+        assert np.all(inside > 0)
+
+    def test_perspective_correct_slanted_plane(self):
+        # plane z = 1 + x (metres); depth at pixel u: z = 1/(1 - (u-cx)/fx)
+        verts = np.array([
+            [-0.3, -0.3, 0.7], [0.3, -0.3, 1.3],
+            [0.3, 0.3, 1.3], [-0.3, 0.3, 0.7],
+        ], np.float32)
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        d = render_full(verts, faces, K, max_edge=0.02)
+        v0 = 240
+        for u in (300, 320, 340):
+            z = d[v0, u]
+            assert z > 0
+            x_over_z = (u + 0.5 - K[0, 2]) / K[0, 0]
+            z_true = 1.0 / (1.0 - x_over_z)
+            assert z == pytest.approx(z_true, rel=5e-3)
+
+    def test_z_buffer_occlusion(self):
+        v1, f1 = square_mesh(half=0.1, z=2.0)    # 50x50 px footprint
+        v2, f2 = square_mesh(half=0.03, z=1.0)   # nearer, 30x30 px
+        verts = np.concatenate([v1, v2])
+        faces = np.concatenate([f1, f2 + 4]).astype(np.int32)
+        d = render_full(verts, faces, K)
+        assert d[240, 320] == pytest.approx(1.0, abs=1e-4)
+        # ring covered only by the far square (offset 22 > 15px near extent)
+        assert d[240, 320 - 22] == pytest.approx(2.0, abs=1e-4)
+
+    def test_window_origin_offset(self):
+        import jax.numpy as jnp
+        verts, faces = square_mesh(half=0.1, z=2.0)
+        v, f = subdivide_max_edge(verts, faces, 0.02)
+        full = render_full(verts, faces, K, max_edge=0.02)
+        win = render_depth_window(
+            jnp.asarray(v), jnp.asarray(f), jnp.asarray(K),
+            jnp.asarray([280.0, 200.0], np.float32), window=(80, 80),
+            tile=16)
+        np.testing.assert_allclose(np.asarray(win),
+                                   full[200:280, 280:360], atol=1e-5)
+
+    def test_degenerate_padding_faces_ignored(self):
+        import jax.numpy as jnp
+        verts, faces = square_mesh(half=0.05, z=1.0)
+        v, f = subdivide_max_edge(verts, faces, 0.01)
+        fp = np.zeros((2 * len(f), 3), np.int32)
+        fp[:len(f)] = f
+        a = render_depth_window(jnp.asarray(v), jnp.asarray(f),
+                                jnp.asarray(K), jnp.zeros(2, np.float32),
+                                window=(480, 640), tile=16)
+        b = render_depth_window(jnp.asarray(v), jnp.asarray(fp),
+                                jnp.asarray(K), jnp.zeros(2, np.float32),
+                                window=(480, 640), tile=16)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _gt_depth(verts, faces, hw=(480, 640)):
+    return render_full(verts, faces, K, hw=hw, max_edge=0.02)
+
+
+class TestVSD:
+    def setup_method(self, _):
+        self.verts, self.faces = square_mesh(half=0.1, z=0.0)
+        self.verts = self.verts - [0, 0, 0.0]  # object frame: z=0 plane
+        self.R = np.eye(3, dtype=np.float32)
+        self.t = np.array([0, 0, 2.0], np.float32)
+        cam = self.verts @ self.R.T + self.t
+        self.depth_test = _gt_depth(cam, self.faces)
+        self.diameter = float(0.2 * np.sqrt(2))
+
+    def test_perfect_pose_zero_error(self):
+        errs = vsd_err(self.R, self.t, self.R, self.t, self.depth_test, K,
+                       self.verts, self.faces, self.diameter)
+        assert errs.shape == (10,)
+        assert np.all(errs < 0.02)
+
+    def test_grossly_wrong_pose_error_one(self):
+        t_bad = self.t + np.array([1.0, 0, 0], np.float32)
+        errs = vsd_err(self.R, t_bad, self.R, self.t, self.depth_test, K,
+                       self.verts, self.faces, self.diameter)
+        assert np.all(errs > 0.95)
+
+    def test_small_offset_monotone_in_tau(self):
+        # shift along z by 0.2 diameters: step cost -> error 1 for
+        # tau < 0.2, ~0 for tau > 0.2 (plane-on-plane, full overlap)
+        t_off = self.t + np.array([0, 0, 0.2 * self.diameter], np.float32)
+        errs = vsd_err(self.R, t_off, self.R, self.t, self.depth_test, K,
+                       self.verts, self.faces, self.diameter,
+                       delta=self.diameter)  # keep both surfaces "visible"
+        taus = np.arange(0.05, 0.51, 0.05)
+        assert np.all(errs[taus < 0.19] > 0.9)
+        assert np.all(errs[taus > 0.21] < 0.1)
+        assert np.all(np.diff(errs) <= 1e-6)  # non-increasing in tau
+
+    def test_occluder_removes_visible_surface(self):
+        # occluder patch in front of part of the object in the test scene
+        # (object footprint x:[295,345], y:[215,265]; occluder at z=1
+        # covers x:[295,320], y:[227,252])
+        occ_v, occ_f = square_mesh(half=0.025, z=1.0, cx=-0.025)
+        occ_cam = occ_v  # already at z=1 in camera frame
+        occ_depth = _gt_depth(occ_cam, occ_f)
+        depth = self.depth_test.copy()
+        m = occ_depth > 0
+        depth[m] = occ_depth[m]
+        # estimate wrong only in the occluded half -> error lower than
+        # the same mistake fully visible
+        errs_occ = vsd_err(self.R, self.t, self.R, self.t, depth, K,
+                           self.verts, self.faces, self.diameter)
+        assert np.all(errs_occ < 0.05)  # visible half still matches
+
+    def test_missing_depth_counts_visible_bop19(self):
+        # bop19: pixels with no test depth are treated as visible
+        errs = vsd_err(self.R, self.t, self.R, self.t,
+                       np.zeros_like(self.depth_test), K,
+                       self.verts, self.faces, self.diameter)
+        assert np.all(errs < 0.02)
+
+    def test_tlinear_cost(self):
+        t_off = self.t + np.array([0, 0, 0.1 * self.diameter], np.float32)
+        errs = vsd_err(self.R, t_off, self.R, self.t, self.depth_test, K,
+                       self.verts, self.faces, self.diameter,
+                       delta=self.diameter, cost_type="tlinear")
+        taus = np.arange(0.05, 0.51, 0.05)
+        # tlinear: cost = min(d/tau, 1); d = 0.1 -> at tau=0.5 cost ~ 0.2
+        assert errs[-1] == pytest.approx(0.2, abs=0.06)
+
+    def test_evaluator_integration(self):
+        from gdm_tpu.eval.evaluator import Evaluator
+
+        ev = Evaluator(
+            "synth", ["obj"], {"obj": self.diameter},
+            {"obj": self.verts},
+            vsd_meshes={"obj": (self.verts, self.faces)})
+        ev.add_prediction("obj", "1/0", self.R, self.t)           # perfect
+        t_bad = self.t + np.array([1.0, 0, 0], np.float32)
+        ev.add_prediction("obj", "1/1", self.R, t_bad)            # gross
+        gt = {"R": self.R, "t": self.t, "K": K,
+              "depth": self.depth_test}
+        res = ev.evaluate({"obj": {"1/0": gt, "1/1": gt}})
+        assert res["recalls"]["obj"]["vsd"] == [1.0, 0.0]
+        assert res["errors"]["obj"]["vsd"][0] < 0.02
+        assert res["errors"]["obj"]["vsd"][1] > 0.95
+        assert "vsd" in res["table"]
+
+    def test_recall(self):
+        errs = [np.full(10, 0.1), np.full(10, 0.9)]
+        assert vsd_recall(errs) == pytest.approx(0.5)
+        assert vsd_recall(errs, correct_ths=(0.95,)) == pytest.approx(1.0)
+        assert vsd_recall([]) == 0.0
