@@ -70,7 +70,9 @@ def _make_model(cfg, diameter_m, mesh_fps, mesh_arr):
         return model, mesh_x, jnp.asarray(pts), False
 
     from gdm_tpu.models import GeoMatch
+    from gdm_tpu.models.randla import set_gather_bwd_dtype
 
+    set_gather_bwd_dtype(cfg.model.gather_bwd_dtype)
     model = GeoMatch(
         feat_dim=cfg.model.feat_dim,
         positive_r=cfg.model.neighbor_dis_th * diameter_m,
@@ -137,7 +139,7 @@ def train(args):
     if args.multihost:
         jax.distributed.initialize()
     log = get_logger("train")
-    cfg = get_config(args.dataset)
+    cfg = get_config(args.dataset, args.opt)
     refd = get_refdata(args.dataset)
     sol = cfg.solver
     epochs = args.epochs or sol.total_epochs
@@ -255,13 +257,14 @@ def evaluate(args):
     from gdm_tpu.utils.logging import get_logger
 
     log = get_logger("eval")
-    cfg = get_config(args.dataset)
+    cfg = get_config(args.dataset, args.opt)
     refd = get_refdata(args.dataset)
     batch_size = args.batch_size or cfg.solver.val_batch_size
     dev_mesh = make_mesh()
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
 
     obj_names, diameters, models_pts, sym_rots = [], {}, {}, {}
+    vsd_meshes = {}
     try:
         models_info = refd.load_models_info(
             osp.join(args.data_root, "models"))
@@ -285,9 +288,17 @@ def evaluate(args):
         _, _, mesh_fps, graph, mesh_arr = _build_object_setup(
             cfg, refd, cls_id, args.data_root)
         if osp.exists(eval_ply):
-            models_pts[obj_name] = load_ply(eval_ply)["pts"] / 1000.0
+            ply = load_ply(eval_ply)
+            models_pts[obj_name] = ply["pts"] / 1000.0
+            if args.vsd and "faces" in ply:
+                vsd_meshes[obj_name] = (models_pts[obj_name],
+                                        ply["faces"])
         else:
             models_pts[obj_name] = mesh_fps[:, :3]
+            if args.vsd:
+                log.warning("--vsd: no faces for %s (missing %s) — "
+                            "skipping VSD for this object",
+                            obj_name, eval_ply)
         if str(cls_id) in models_info and obj_name in cfg.data.sym_objs:
             sym_rots[obj_name] = all_symmetry_rotations(
                 models_info[str(cls_id)])
@@ -300,13 +311,15 @@ def evaluate(args):
             continue
         gts[obj_name] = {
             r.file_name: {"R": r.pose[:, :3], "t": r.pose[:, 3],
-                          "K": r.cam_K} for r in ds.annos}
+                          "K": r.cam_K, "depth_file": r.depth_file,
+                          "depth_factor": r.depth_factor}
+            for r in ds.annos}
         if evaluator is None:
             evaluator = Evaluator(
                 args.dataset, [refd.id2obj[c] for c in cls_ids],
                 diameters, models_pts, sym_objs=cfg.data.sym_objs,
                 sym_rots=sym_rots, output_dir=args.output_dir,
-                obj2id=refd.obj2id)
+                obj2id=refd.obj2id, vsd_meshes=vsd_meshes)
 
         model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
             cfg, diameters[obj_name], mesh_fps, mesh_arr)
@@ -423,6 +436,10 @@ def build_parser():
         sp.add_argument("--knn-chunk", type=int, default=512)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--multihost", action="store_true")
+        sp.add_argument("--opt", action="append", default=[],
+                        metavar="SECTION.FIELD=VALUE",
+                        help="config override, repeatable (e.g. "
+                             "model.gather_bwd_dtype=bfloat16)")
         sp.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace here "
                              "(inspect with xprof/TensorBoard)")
@@ -445,6 +462,9 @@ def build_parser():
     e.add_argument("--torch-checkpoint", default=None,
                    help="directory of reference .pth.tar checkpoints to "
                         "import instead of native orbax checkpoints")
+    e.add_argument("--vsd", action="store_true",
+                   help="also compute the BOP VSD metric (device-side "
+                        "renders; needs models_eval PLYs with faces)")
     return p
 
 

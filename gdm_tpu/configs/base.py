@@ -38,6 +38,8 @@ class ModelConfig:
     backbone: str = "randla_spline"  # or "dgcnn"
     compute_dtype: str = "float32"   # 'bfloat16' halves encoder bandwidth
     # (heads/losses/mesh branch stay f32; BN statistics always f32)
+    gather_bwd_dtype: str = "float32"  # 'bfloat16': ~2x faster RandLA
+    # backward one-hot contraction, ~0.4% gradient noise (randla.py)
     randla_d_out: Sequence[int] = (32, 64, 128, 256)
     randla_k: int = 16
     mesh_knn_k: int = 4
@@ -117,5 +119,33 @@ YCBV = Config(
 _PRESETS = {"lmo": LMO, "lmfull": LMFULL, "lm_full": LMFULL, "ycbv": YCBV}
 
 
-def get_config(name: str) -> Config:
-    return _PRESETS[name]
+def get_config(name: str, opts: Sequence[str] = ()) -> Config:
+    """Fetch a preset, optionally overriding fields.
+
+    opts: 'section.field=value' strings (cli --opt), e.g.
+    'model.gather_bwd_dtype=bfloat16' or 'solver.train_batch_size=16'.
+    Values are parsed with the existing field's type (the reference
+    mutates its config modules at runtime, train_lm.py:395; here
+    overrides are explicit and type-checked).
+    """
+    cfg = _PRESETS[name]
+    for opt in opts:
+        path, _, raw = opt.partition("=")
+        if not _:
+            raise ValueError(f"--opt needs key=value, got {opt!r}")
+        section, _, field = path.partition(".")
+        if not field:
+            raise ValueError(f"--opt key must be section.field: {opt!r}")
+        sub = getattr(cfg, section)
+        old = getattr(sub, field)  # raises AttributeError on typos
+        if isinstance(old, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(old, (int, float)) and old is not None:
+            val = type(old)(raw)
+        elif isinstance(old, (tuple, list)):
+            val = type(old)(raw.split(",")) if raw else type(old)()
+        else:
+            val = raw
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(sub, **{field: val})})
+    return cfg

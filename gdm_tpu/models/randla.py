@@ -25,6 +25,21 @@ from gdm_tpu.models.layers import DenseBNAct, leaky_relu02
 # point count is large (measured on v5e: 2.6x at N=4096, tie at N<=256)
 _ONEHOT_BWD_MIN_N = 512
 
+# trace-time switch for the one-hot backward contraction dtype.  None =
+# exact (HIGHEST-precision f32, grads bit-match scatter-add).  'bfloat16'
+# runs the MXU contraction in bf16 with f32 accumulation — ~2x faster on
+# the gather-bound RandLA backward at the cost of ~0.4% relative gradient
+# noise.  Read when the train step is TRACED: call before the first jit
+# execution (cli wires ModelConfig.gather_bwd_dtype through this).
+_GATHER_BWD_DTYPE = None
+
+
+def set_gather_bwd_dtype(dtype) -> None:
+    """Set the neighbour-gather backward dtype ('bfloat16'/'float32'/None)."""
+    global _GATHER_BWD_DTYPE
+    _GATHER_BWD_DTYPE = (None if dtype in (None, "float32")
+                         else jnp.dtype(dtype))
+
 
 @jax.custom_vjp
 def gather_neighbours_b(feats: jax.Array, idx: jax.Array) -> jax.Array:
@@ -60,14 +75,19 @@ def _gather_bwd(res, ct):
     ct2 = ct.reshape(b, rows, c)
     idx2 = idx.reshape(b, rows)
     if n >= _ONEHOT_BWD_MIN_N:
+        bwd_dtype = _GATHER_BWD_DTYPE
+
         def one(c1, i1):
-            oh = jax.nn.one_hot(i1, n, dtype=c1.dtype)     # fused, [rows,n]
-            # HIGHEST: grads must match scatter-add exactly; with one-hot
-            # operands the f32 passes add no measurable cost
+            dt = bwd_dtype or c1.dtype
+            oh = jax.nn.one_hot(i1, n, dtype=dt)           # fused, [rows,n]
+            # default (bwd_dtype None): HIGHEST so grads match scatter-add
+            # exactly (with one-hot operands the f32 passes add no
+            # measurable cost); bf16 mode trades ~0.4% grad noise for ~2x
             return jax.lax.dot_general(
-                c1, oh, (((0,), (0,)), ((), ())),
+                c1.astype(dt), oh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).T     # [n, c]
+                precision=(jax.lax.Precision.DEFAULT if bwd_dtype
+                           else jax.lax.Precision.HIGHEST)).T   # [n, c]
         dfeats = jax.vmap(one)(ct2, idx2)
     else:
         dfeats = jax.vmap(lambda c1, i1: jax.ops.segment_sum(

@@ -8,6 +8,26 @@ import numpy as np
 import pytest
 
 import conftest  # noqa: F401
+
+
+class TestConfigOverrides:
+    def test_opt_overrides_typed(self):
+        import pytest
+
+        from gdm_tpu.configs.base import get_config
+
+        c = get_config("lmo", ["model.gather_bwd_dtype=bfloat16",
+                               "solver.train_batch_size=16",
+                               "data.fill_depth=true"])
+        assert c.model.gather_bwd_dtype == "bfloat16"
+        assert c.solver.train_batch_size == 16
+        assert c.data.fill_depth is True
+        # presets are immutable
+        assert get_config("lmo").model.gather_bwd_dtype == "float32"
+        with pytest.raises(AttributeError):
+            get_config("lmo", ["model.no_such_field=1"])
+        with pytest.raises(ValueError):
+            get_config("lmo", ["not_an_assignment"])
 import test_data  # reuse the mini BOP fixture builder
 from test_data import IM_H, IM_W, IN_SIZE, N_MESH, N_SAMPLE, bop_root  # noqa: F401
 

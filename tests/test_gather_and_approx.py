@@ -69,6 +69,38 @@ class TestGatherVJP:
             np.testing.assert_allclose(
                 np.asarray(g_new), np.asarray(g_ref), atol=1e-4)
 
+    def test_bf16_bwd_mode_close_to_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gdm_tpu.models import randla
+        from gdm_tpu.models.randla import (gather_neighbours_b,
+                                           set_gather_bwd_dtype)
+
+        rng = np.random.RandomState(3)
+        n = 700  # one-hot branch
+        f = jnp.asarray(rng.randn(2, n, 12).astype(np.float32))
+        i = jnp.asarray(rng.randint(0, n, (2, n, 5)).astype(np.int32))
+        ct = jnp.asarray(rng.randn(2, n, 5, 12).astype(np.float32))
+
+        def loss(x):
+            return jnp.sum(gather_neighbours_b(x, i) * ct)
+
+        g_exact = np.asarray(jax.grad(loss)(f))
+        try:
+            set_gather_bwd_dtype("bfloat16")
+            g_bf16 = np.asarray(jax.grad(loss)(f))
+        finally:
+            set_gather_bwd_dtype(None)
+        assert randla._GATHER_BWD_DTYPE is None
+        assert g_bf16.dtype == np.float32
+        # bf16 rounds each cotangent element (~0.4% of its magnitude), so
+        # the error is absolute in the operand scale, not relative to the
+        # (possibly cancelled) gradient entry
+        fro = np.linalg.norm(g_bf16 - g_exact) / np.linalg.norm(g_exact)
+        assert fro < 1e-2, fro
+        assert np.abs(g_bf16 - g_exact).max() < 0.1
+
     def test_2d_index_path(self):
         import jax
         import jax.numpy as jnp
