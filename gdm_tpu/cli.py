@@ -353,7 +353,8 @@ def evaluate(args):
                 if needs_pyramid:
                     inputs = assemble_inputs(
                         fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
-                        fin["xyz_img"], knn_chunk=args.knn_chunk)
+                        fin["xyz_img"], knn_chunk=args.knn_chunk,
+                        approx=not args.exact_knn)
                 else:
                     inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
                 out = state.apply_fn(
@@ -465,6 +466,9 @@ def build_parser():
     e.add_argument("--vsd", action="store_true",
                    help="also compute the BOP VSD metric (device-side "
                         "renders; needs models_eval PLYs with faces)")
+    e.add_argument("--exact-knn", action="store_true",
+                   help="exact top-k for the aggregation KNN pyramid "
+                        "(~7x slower; measured no pose-accuracy gain)")
     return p
 
 

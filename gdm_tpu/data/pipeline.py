@@ -145,6 +145,7 @@ def assemble_inputs(
     visible_flag: jax.Array | None = None,
     RT: jax.Array | None = None,
     knn_chunk: int = 512,
+    approx: bool = True,
 ):
     """Batched model-input dict: host-loaded tensors + on-device pyramid.
 
@@ -154,9 +155,12 @@ def assemble_inputs(
       choose: [B, N] flat pixel index of each sampled point.
       xyz_img: [B, S, S, 3].
       labels/match_idx/visible_flag/RT: training-only GT arrays.
+      approx: approx top-k for the k=16 aggregation searches (see
+        build_pyramid; measured no pose-accuracy impact, ~7x faster).
     """
     pyr = jax.vmap(
-        lambda c, x: build_pyramid(c, x, knn_chunk=knn_chunk)
+        lambda c, x: build_pyramid(c, x, knn_chunk=knn_chunk,
+                                   approx=approx)
     )(cld_rgb_nrm[..., :3], xyz_img)
     inputs = {
         "rgb": rgb,
