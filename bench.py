@@ -112,8 +112,10 @@ def main():
     )(jax.random.PRNGKey(0), sample_inputs, mesh)
 
     accel = jax.devices()[0]
+    # 15 iters: single-run fps through the axon tunnel varies ~10%
+    # (observed 188-206 at iters=5); longer steady-state averages it out
     fps = run_on(accel, data, mesh, model, variables, mesh.xyz,
-                 iters=5, warmup=2)
+                 iters=15, warmup=3)
 
     cpu = jax.devices("cpu")[0]
     cpu_fps = run_on(cpu, batch_small, mesh, model, variables, mesh.xyz,

@@ -224,6 +224,26 @@ class TestVSD:
         assert res["errors"]["obj"]["vsd"][1] > 0.95
         assert "vsd" in res["table"]
 
+    def test_evaluator_depth_file_loading(self, tmp_path):
+        from PIL import Image
+
+        from gdm_tpu.eval.evaluator import Evaluator
+
+        # 16-bit png at depth_factor scaling, like BOP test frames
+        factor = 10000.0
+        png = (self.depth_test * factor).astype(np.uint16)
+        p = tmp_path / "depth.png"
+        Image.fromarray(png).save(p)
+        ev = Evaluator(
+            "synth", ["obj"], {"obj": self.diameter},
+            {"obj": self.verts},
+            vsd_meshes={"obj": (self.verts, self.faces)})
+        ev.add_prediction("obj", "1/0", self.R, self.t)
+        gt = {"R": self.R, "t": self.t, "K": K,
+              "depth_file": str(p), "depth_factor": factor}
+        res = ev.evaluate({"obj": {"1/0": gt}})
+        assert res["recalls"]["obj"]["vsd"] == [1.0]
+
     def test_recall(self):
         errs = [np.full(10, 0.1), np.full(10, 0.9)]
         assert vsd_recall(errs) == pytest.approx(0.5)
