@@ -111,6 +111,7 @@ class DenseBNAct(nn.Module):
     bn: bool = True
     act: Callable | None = nn.relu
     bias: bool = True
+    bn_eps: float = 1e-5   # RandLA blocks use the reference's 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -119,7 +120,8 @@ class DenseBNAct(nn.Module):
             self.features, use_bias=self.bias and not self.bn,
             dtype=self.dtype)(x)
         if self.bn:
-            x = BatchNorm(dtype=self.dtype)(x, train, momentum)
+            x = BatchNorm(epsilon=self.bn_eps,
+                          dtype=self.dtype)(x, train, momentum)
         if self.act is not None:
             x = self.act(x)
         return x

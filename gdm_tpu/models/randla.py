@@ -10,6 +10,11 @@ The reference's random-sampling pooling keeps the first N/4 points of a
 pre-shuffled cloud (linemod_pbr.py:538); the neighbour/pool/interp index
 pyramid arrives precomputed in the input dict (built on device by
 gdm_tpu.data.pipeline rather than by a CPU KD-tree per sample).
+
+Activation/BN conventions follow models/RandLA/pytorch_utils.py, which
+differs from the CNN-side models/pytorch_utils.py: the default conv
+activation is LeakyReLU(0.2) (pytorch_utils.py:135,170 vs nn.ReLU on the
+CNN side) and BN eps is 1e-6 (:108).
 """
 
 from __future__ import annotations
@@ -125,7 +130,7 @@ class AttPooling(nn.Module):
                        dtype=self.dtype)(x)
         scores = jax.nn.softmax(att, axis=2)
         agg = jnp.sum(x * scores, axis=2)                 # [B, N, C]
-        return DenseBNAct(self.d_out, name="mlp",
+        return DenseBNAct(self.d_out, name="mlp", act=leaky_relu02, bn_eps=1e-6,
                           dtype=self.dtype)(agg, train, momentum)
 
 
@@ -146,15 +151,15 @@ class BuildingBlock(nn.Module):
         f_xyz = jnp.concatenate([dist, rel, xyz_tile, neigh_xyz], axis=-1)
         f_xyz = f_xyz.astype(self.dtype)
 
-        f_xyz1 = DenseBNAct(self.d_out // 2, name="mlp1",
-                            dtype=self.dtype)(f_xyz, train, momentum)
+        f_xyz1 = DenseBNAct(self.d_out // 2, name="mlp1", act=leaky_relu02,
+                            bn_eps=1e-6, dtype=self.dtype)(f_xyz, train, momentum)
         f_neigh = gather_neighbours_b(feats, neigh_idx)
         agg1 = AttPooling(self.d_out // 2, name="att_pooling_1",
                           dtype=self.dtype)(
             jnp.concatenate([f_neigh, f_xyz1], axis=-1), train, momentum)
 
-        f_xyz2 = DenseBNAct(self.d_out // 2, name="mlp2",
-                            dtype=self.dtype)(f_xyz1, train, momentum)
+        f_xyz2 = DenseBNAct(self.d_out // 2, name="mlp2", act=leaky_relu02,
+                            bn_eps=1e-6, dtype=self.dtype)(f_xyz1, train, momentum)
         f_neigh2 = gather_neighbours_b(agg1, neigh_idx)
         return AttPooling(self.d_out, name="att_pooling_2",
                           dtype=self.dtype)(
@@ -169,13 +174,13 @@ class DilatedResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, xyz, neigh_idx, train: bool, momentum=0.1):
-        f = DenseBNAct(self.d_out // 2, name="mlp1",
-                       dtype=self.dtype)(feats, train, momentum)
+        f = DenseBNAct(self.d_out // 2, name="mlp1", act=leaky_relu02,
+                       bn_eps=1e-6, dtype=self.dtype)(feats, train, momentum)
         f = BuildingBlock(self.d_out, name="lfa", dtype=self.dtype)(
             xyz, f, neigh_idx, train, momentum)
-        f = DenseBNAct(2 * self.d_out, act=None, name="mlp2",
+        f = DenseBNAct(2 * self.d_out, act=None, name="mlp2", bn_eps=1e-6,
                        dtype=self.dtype)(f, train, momentum)
-        sc = DenseBNAct(2 * self.d_out, act=None, name="shortcut",
+        sc = DenseBNAct(2 * self.d_out, act=None, name="shortcut", bn_eps=1e-6,
                         dtype=self.dtype)(feats, train, momentum)
         return leaky_relu02(f + sc)
 
@@ -190,7 +195,8 @@ class RandLAEncoder(nn.Module):
     dtype: object = jnp.float32
 
     def setup(self):
-        self.fc0 = DenseBNAct(8, name="fc0", dtype=self.dtype)
+        self.fc0 = DenseBNAct(8, name="fc0", act=leaky_relu02, bn_eps=1e-6,
+                             dtype=self.dtype)
         self.ds_blocks = [
             DilatedResBlock(d, name=f"ds_{i}", dtype=self.dtype)
             for i, d in enumerate(self.d_out)
@@ -206,6 +212,7 @@ class RandLAEncoder(nn.Module):
             dec_widths.append(w)
             d_prev = w
         self.up_blocks = [
-            DenseBNAct(w, name=f"up_{j}", dtype=self.dtype)
+            DenseBNAct(w, name=f"up_{j}", act=leaky_relu02, bn_eps=1e-6,
+                       dtype=self.dtype)
             for j, w in enumerate(dec_widths)
         ]

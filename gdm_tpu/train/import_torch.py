@@ -19,6 +19,16 @@ blocks / decoders), models/pytorch_utils.py:70-124 (_ConvBase children
 `conv` + `normlayer.bn`), models/cnn/pspnet.py (PSPModule.stages/bottleneck,
 PSPUpsample.conv Sequential, Modified_PSPNet.final), models/SplineCNN.py
 (mesh_convs / mesh_final).
+
+Two reference quirks the map reproduces (validated by diffing against the
+actual ``FFB6DEmb().state_dict()`` keys, tests/test_import_torch.py):
+  * the RandLA-side blocks are built from models/RandLA/pytorch_utils.py,
+    whose BN wrapper attr is ``bn`` (-> keys ``...bn.bn.*``), while the
+    CNN/fusion side uses models/pytorch_utils.py's ``normlayer``
+    (-> ``...normlayer.bn.*``);
+  * ``cnn.final`` is ONE module registered under two cnn_up_stages slots
+    (ffb6d.py:76-81), so torch state dicts carry the same tensors under
+    both ``cnn_up_stages.2.0.0.*`` and ``cnn_up_stages.3.1.0.*``.
 """
 
 from __future__ import annotations
@@ -31,6 +41,13 @@ _BN_PARAM = {"scale": "weight", "bias": "bias"}
 _BN_STATS = {"mean": "running_mean", "var": "running_var"}
 
 _PSP_SIZE_TO_IDX = {"1": 0, "2": 1, "3": 2, "6": 3}
+# shared cnn.final module -> duplicate state-dict names (ffb6d.py:76-81)
+_ALIASES = {
+    "pcd_emb.cnn_up_stages.2.0.0.weight":
+        "pcd_emb.cnn_up_stages.3.1.0.weight",
+    "pcd_emb.cnn_up_stages.2.0.0.bias":
+        "pcd_emb.cnn_up_stages.3.1.0.bias",
+}
 _UP_TO_STAGE = {"up_1": "0.0", "up_2": "1.0", "up_3": "3.0"}
 _FUSE = {
     "ds_r2p_pre": "ds_fuse_r2p_pre_layers",
@@ -180,17 +197,19 @@ def _map_pcd_emb(path, leaf, collection):
 
     if sub == "rndla":
         node = path[2]
+        # NOTE: RandLA modules use models/RandLA/pytorch_utils.py whose BN
+        # wrapper attr is `bn` (state-dict `...bn.bn.*`), unlike the
+        # CNN/fusion side's `normlayer`
         if node == "fc0":
             if path[3] == "Dense_0":
                 return "rndla_pre_stages.conv.weight", _dense_fwd
-            return _map_bn("rndla_pre_stages.normlayer.bn", leaf,
-                           collection)
+            return _map_bn("rndla_pre_stages.bn.bn", leaf, collection)
         if node.startswith("up_"):
             j = int(node.split("_")[-1])
             base = f"rndla_up_stages.{j}"
             if path[3] == "Dense_0":
                 return f"{base}.conv.weight", _dense_fwd
-            return _map_bn(f"{base}.normlayer.bn", leaf, collection)
+            return _map_bn(f"{base}.bn.bn", leaf, collection)
         if node.startswith("ds_"):
             i = int(node.split("_")[-1])
             base = f"rndla_ds_stages.{i}"
@@ -209,7 +228,7 @@ def _map_pcd_emb(path, leaf, collection):
                 rest = rest[1:]
             if rest[0] == "Dense_0":
                 return f"{base}.conv.weight", _dense_fwd
-            return _map_bn(f"{base}.normlayer.bn", leaf, collection)
+            return _map_bn(f"{base}.bn.bn", leaf, collection)
 
     raise KeyError(
         f"no torch mapping for flax leaf {collection}:pcd_emb/"
@@ -246,6 +265,8 @@ def import_state_dict(params, batch_stats, torch_state: dict,
             "batch_stats": flatten_dict(batch_stats)}
     out_flat = {"params": {}, "batch_stats": {}}
     for (col, path), (tkey, conv) in keymap.items():
+        if tkey not in torch_np and _ALIASES.get(tkey) in torch_np:
+            tkey = _ALIASES[tkey]           # shared-module duplicate name
         if tkey not in torch_np:
             # PyG SplineConv fallback: `root` stored as `lin.weight` [out,in]
             alt = tkey.replace(".root", ".lin.weight")
@@ -270,9 +291,16 @@ def import_state_dict(params, batch_stats, torch_state: dict,
         raise KeyError(
             f"{len(missing)} flax leaves missing from torch checkpoint "
             f"(first: {names})")
+    # duplicates of consumed tensors and torch BN step counters are
+    # expected in real checkpoints — not a mapping gap
+    for a, b in _ALIASES.items():
+        if a in used or b in used:
+            used.update((a, b))
     report = {
         "missing": missing,
-        "unused": sorted(set(torch_np) - used),
+        "unused": sorted(
+            k for k in set(torch_np) - used
+            if not k.endswith("num_batches_tracked")),
     }
     new["params"] = unflatten_dict(out_flat["params"])
     new["batch_stats"] = unflatten_dict(out_flat["batch_stats"])
@@ -297,6 +325,9 @@ def export_state_dict(params, batch_stats) -> dict:
             out[tkey] = val.T
         else:
             out[tkey] = val
+    for a, b in _ALIASES.items():         # mirror shared-module names
+        if a in out:
+            out[b] = out[a]
     return out
 
 

@@ -75,7 +75,10 @@ class TestKeymap:
         assert "pcd_emb.rndla_pre_stages.conv.weight" in names
         assert ("pcd_emb.rndla_ds_stages.0.lfa.att_pooling_1.fc.weight"
                 in names)
-        assert "pcd_emb.rndla_up_stages.3.normlayer.bn.weight" in names
+        # RandLA side uses models/RandLA/pytorch_utils (BN attr `bn`),
+        # not models/pytorch_utils (`normlayer`)
+        assert "pcd_emb.rndla_up_stages.3.bn.bn.weight" in names
+        assert "pcd_emb.rndla_ds_stages.0.mlp1.bn.bn.running_mean" in names
         assert "pcd_emb.ds_fuse_r2p_pre_layers.0.conv.weight" in names
         assert "pcd_emb.up_fuse_p2r_fuse_layers.2.conv.weight" in names
 
@@ -83,6 +86,71 @@ class TestKeymap:
         keymap = flax_to_torch_keymap(*trees)
         names = [t for t, _ in keymap.values()]
         assert len(names) == len(set(names))
+
+
+@pytest.mark.skipif(not __import__("os.path", fromlist=["isdir"]).isdir(
+    "/root/reference"), reason="reference tree not available")
+class TestReferenceKeyParity:
+    """Diff our exporter's pcd_emb names against the ACTUAL reference
+    FFB6DEmb().state_dict() keys (models/ffb6d.py) — catches name-map
+    drift a synthetic round trip can't (it found the RandLA `bn.bn` vs
+    `normlayer.bn` split and the shared-cnn.final duplicate names)."""
+
+    @staticmethod
+    def _reference_pcd_emb_keys():
+        import sys
+        import types
+
+        import torch
+        import torch.utils.model_zoo as mz
+
+        stubs = [
+            "cpp_wrappers", "cpp_wrappers.cpp_subsampling",
+            "cpp_wrappers.cpp_subsampling.grid_subsampling",
+            "nearest_neighbors", "nearest_neighbors.lib",
+            "nearest_neighbors.lib.python",
+            "nearest_neighbors.lib.python.nearest_neighbors",
+            "torch_geometric", "torch_geometric.data",
+        ]
+        added_mods = []
+        for name in stubs:
+            if name not in sys.modules:
+                mod = types.ModuleType(name)
+                if name == "torch_geometric.data":
+                    mod.Data = object
+                sys.modules[name] = mod
+                added_mods.append(name)
+        orig_load_url = mz.load_url
+        orig_lsd = torch.nn.Module.load_state_dict
+        mz.load_url = lambda *a, **k: {}
+        torch.nn.Module.load_state_dict = lambda self, sd, *a, **k: None
+        paths = ["/root/reference/models/RandLA", "/root/reference"]
+        before = set(sys.modules)
+        sys.path[:0] = paths
+        try:
+            from config.lmo_cfg import ConfigRandLA
+            from models.ffb6d import FFB6DEmb
+
+            return set(FFB6DEmb(ConfigRandLA()).state_dict().keys())
+        finally:
+            mz.load_url = orig_load_url
+            torch.nn.Module.load_state_dict = orig_lsd
+            for p in paths:
+                sys.path.remove(p)
+            # drop reference modules + stubs so nothing leaks into other
+            # tests (the reference uses generic top-level names: models,
+            # config, utils, helper_tool, ...)
+            for name in (set(sys.modules) - before) | set(added_mods):
+                sys.modules.pop(name, None)
+
+    def test_pcd_emb_names_match_reference_model(self, trees):
+        ref = {k for k in self._reference_pcd_emb_keys()
+               if not k.endswith("num_batches_tracked")}
+        sd = export_state_dict(*trees)
+        ours = {k[len("pcd_emb."):] for k in sd
+                if k.startswith("pcd_emb.")}
+        assert sorted(ours - ref) == []    # we emit nothing fictional
+        assert sorted(ref - ours) == []    # and cover every real tensor
 
 
 class TestRoundTrip:
