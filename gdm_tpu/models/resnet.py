@@ -29,13 +29,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
         residual = x
+        # explicit (1,1) padding: torch Conv2d(3x3, padding=1) pads both
+        # sides; XLA "SAME" at stride 2 pads (0,1), which shifts the
+        # sampling grid and breaks checkpoint parity in layer2
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, name="conv1",
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv1",
                     dtype=self.dtype)(x)
         y = BatchNorm(name="bn1", dtype=self.dtype)(y, train, momentum)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
-                    name="conv2", dtype=self.dtype)(y)
+        y = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name="conv2", dtype=self.dtype)(y)
         y = BatchNorm(name="bn2", dtype=self.dtype)(y, train, momentum)
         if self.use_downsample:
             residual = nn.Conv(

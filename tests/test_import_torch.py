@@ -88,69 +88,150 @@ class TestKeymap:
         assert len(names) == len(set(names))
 
 
+def _reference_ffb6d_state_dict():
+    """Instantiate the ACTUAL reference FFB6DEmb (models/ffb6d.py, pure
+    torch) with its compiled extensions stubbed, and return a numpy
+    state dict of a seeded random init.  Reference modules and stubs are
+    dropped from sys.modules afterwards (the reference uses generic
+    top-level names: models, config, utils, helper_tool, ...)."""
+    import sys
+    import types
+
+    import torch
+    import torch.utils.model_zoo as mz
+
+    stubs = [
+        "cpp_wrappers", "cpp_wrappers.cpp_subsampling",
+        "cpp_wrappers.cpp_subsampling.grid_subsampling",
+        "nearest_neighbors", "nearest_neighbors.lib",
+        "nearest_neighbors.lib.python",
+        "nearest_neighbors.lib.python.nearest_neighbors",
+        "torch_geometric", "torch_geometric.data",
+    ]
+    added_mods = []
+    for name in stubs:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "torch_geometric.data":
+                mod.Data = object
+            sys.modules[name] = mod
+            added_mods.append(name)
+    orig_load_url = mz.load_url
+    orig_lsd = torch.nn.Module.load_state_dict
+    mz.load_url = lambda *a, **k: {}
+    torch.nn.Module.load_state_dict = lambda self, sd, *a, **k: None
+    paths = ["/root/reference/models/RandLA", "/root/reference"]
+    before = set(sys.modules)
+    sys.path[:0] = paths
+    try:
+        from config.lmo_cfg import ConfigRandLA
+        from models.ffb6d import FFB6DEmb
+
+        torch.manual_seed(0)
+        m = FFB6DEmb(ConfigRandLA())
+        m.eval()
+        return m, {k: v.detach().numpy()
+                   for k, v in m.state_dict().items()}
+    finally:
+        mz.load_url = orig_load_url
+        torch.nn.Module.load_state_dict = orig_lsd
+        for p in paths:
+            sys.path.remove(p)
+        for name in (set(sys.modules) - before) | set(added_mods):
+            sys.modules.pop(name, None)
+
+
 @pytest.mark.skipif(not __import__("os.path", fromlist=["isdir"]).isdir(
     "/root/reference"), reason="reference tree not available")
-class TestReferenceKeyParity:
-    """Diff our exporter's pcd_emb names against the ACTUAL reference
-    FFB6DEmb().state_dict() keys (models/ffb6d.py) — catches name-map
-    drift a synthetic round trip can't (it found the RandLA `bn.bn` vs
-    `normlayer.bn` split and the shared-cnn.final duplicate names)."""
+class TestReferenceParity:
+    """Validate against the ACTUAL reference model, not just round trips.
+    The key diff caught the RandLA `bn.bn` vs `normlayer.bn` split and
+    the shared-cnn.final duplicate names; the forward diff caught torch
+    pad-1 vs XLA SAME padding on stride-2 ResNet convs."""
 
-    @staticmethod
-    def _reference_pcd_emb_keys():
-        import sys
-        import types
+    @pytest.fixture(scope="class")
+    def ref_model(self):
+        return _reference_ffb6d_state_dict()
 
-        import torch
-        import torch.utils.model_zoo as mz
-
-        stubs = [
-            "cpp_wrappers", "cpp_wrappers.cpp_subsampling",
-            "cpp_wrappers.cpp_subsampling.grid_subsampling",
-            "nearest_neighbors", "nearest_neighbors.lib",
-            "nearest_neighbors.lib.python",
-            "nearest_neighbors.lib.python.nearest_neighbors",
-            "torch_geometric", "torch_geometric.data",
-        ]
-        added_mods = []
-        for name in stubs:
-            if name not in sys.modules:
-                mod = types.ModuleType(name)
-                if name == "torch_geometric.data":
-                    mod.Data = object
-                sys.modules[name] = mod
-                added_mods.append(name)
-        orig_load_url = mz.load_url
-        orig_lsd = torch.nn.Module.load_state_dict
-        mz.load_url = lambda *a, **k: {}
-        torch.nn.Module.load_state_dict = lambda self, sd, *a, **k: None
-        paths = ["/root/reference/models/RandLA", "/root/reference"]
-        before = set(sys.modules)
-        sys.path[:0] = paths
-        try:
-            from config.lmo_cfg import ConfigRandLA
-            from models.ffb6d import FFB6DEmb
-
-            return set(FFB6DEmb(ConfigRandLA()).state_dict().keys())
-        finally:
-            mz.load_url = orig_load_url
-            torch.nn.Module.load_state_dict = orig_lsd
-            for p in paths:
-                sys.path.remove(p)
-            # drop reference modules + stubs so nothing leaks into other
-            # tests (the reference uses generic top-level names: models,
-            # config, utils, helper_tool, ...)
-            for name in (set(sys.modules) - before) | set(added_mods):
-                sys.modules.pop(name, None)
-
-    def test_pcd_emb_names_match_reference_model(self, trees):
-        ref = {k for k in self._reference_pcd_emb_keys()
+    def test_pcd_emb_names_match_reference_model(self, trees, ref_model):
+        _, sd_ref = ref_model
+        ref = {k for k in sd_ref
                if not k.endswith("num_batches_tracked")}
         sd = export_state_dict(*trees)
         ours = {k[len("pcd_emb."):] for k in sd
                 if k.startswith("pcd_emb.")}
         assert sorted(ours - ref) == []    # we emit nothing fictional
         assert sorted(ref - ours) == []    # and cover every real tensor
+
+    def test_forward_matches_reference_model(self, ref_model):
+        """Import the reference's random-init weights and compare the
+        full FFB6D forward on one synthetic frame (eval mode, f32)."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from gdm_tpu.data.pipeline import assemble_inputs
+        from gdm_tpu.data.synthetic import make_batch, make_object
+        from gdm_tpu.models.ffb6d import FFB6DEmb as OurFFB6D
+
+        ref, sd = ref_model
+        im, n = 64, 1024
+        K = np.array([[280.0, 0, im / 2], [0, 280.0, im / 2], [0, 0, 1]],
+                     np.float32)
+        rng = np.random.RandomState(0)
+        mesh_fps = make_object(256, rng, radius=0.06)
+        data, _ = make_batch(mesh_fps, 1, K, im_size=im, n_sample=n,
+                             seed=3)
+        inp = assemble_inputs(
+            jnp.asarray(data["rgb"]), jnp.asarray(data["cld_rgb_nrm"]),
+            jnp.asarray(data["choose"]), jnp.asarray(data["xyz_img"]),
+            knn_chunk=256, approx=False)
+        inp = jax.device_get(inp)
+        inp_j = {k: jnp.asarray(v) for k, v in inp.items()}
+
+        model = OurFFB6D()
+        v = model.init(jax.random.PRNGKey(0), inp_j, train=False)
+        newp, news, report = import_state_dict(
+            {"pcd_emb": v["params"]}, {"pcd_emb": v["batch_stats"]},
+            {"pcd_emb." + k: vv for k, vv in sd.items()})
+        assert not report["missing"] and not report["unused"]
+        out_ours = np.asarray(model.apply(
+            {"params": newp["pcd_emb"], "batch_stats": news["pcd_emb"]},
+            inp_j, train=False))                          # [1, N, 128]
+
+        def t(x, dt=torch.float32):
+            return torch.from_numpy(np.ascontiguousarray(x)).to(dt)
+
+        tin = {
+            "rgb": t(np.transpose(data["rgb"], (0, 3, 1, 2))),
+            "cld_rgb_nrm": t(np.transpose(data["cld_rgb_nrm"],
+                                          (0, 2, 1))),
+            "choose": t(data["choose"][:, None, :], torch.int64),
+        }
+
+        def idx3(a):
+            a = np.asarray(a)
+            return a[..., None] if a.ndim == 2 else a
+
+        for i in range(4):
+            tin[f"cld_xyz{i}"] = t(inp[f"cld_xyz{i}"])
+            for k2 in ("cld_nei_idx", "cld_sub_idx", "r2p_ds_nei_idx"):
+                tin[f"{k2}{i}"] = t(inp[f"{k2}{i}"], torch.int64)
+            for k2 in ("cld_interp_idx", "p2r_ds_nei_idx"):
+                tin[f"{k2}{i}"] = t(idx3(inp[f"{k2}{i}"]), torch.int64)
+        for i in range(3):
+            tin[f"r2p_up_nei_idx{i}"] = t(inp[f"r2p_up_nei_idx{i}"],
+                                          torch.int64)
+            tin[f"p2r_up_nei_idx{i}"] = t(idx3(inp[f"p2r_up_nei_idx{i}"]),
+                                          torch.int64)
+        with torch.no_grad():
+            out_ref = ref(tin).numpy()                    # [1, 128, N]
+        out_ref = np.transpose(out_ref, (0, 2, 1))
+
+        rel = (np.linalg.norm(out_ours - out_ref)
+               / np.linalg.norm(out_ref))
+        assert rel < 1e-5, rel
+        assert np.abs(out_ours - out_ref).max() < 1e-3
 
 
 class TestRoundTrip:
