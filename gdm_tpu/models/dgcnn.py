@@ -27,11 +27,16 @@ def graph_feature_b(x: jax.Array, k: int, pos: jax.Array | None = None):
 
     `pos` selects the KNN coordinate space (dim9=True uses xyz only,
     dgcnn.py:36-38); defaults to x itself.
+
+    The reference's topk keeps the point ITSELF as neighbour 0 (distance
+    0 tops the negated-distance topk, dgcnn.py:21-27), so its k edges are
+    [self, nn1..nn_{k-1}] — the self edge contributes (0, x_i).  Matched
+    here for checkpoint parity.
     """
     coords = x if pos is None else pos
 
     def one(c):
-        return knn(c, c, k + 1)[:, 1:]
+        return knn(c, c, k)
 
     idx = jax.vmap(one)(coords)                            # [B, n, k]
     from gdm_tpu.models.randla import gather_neighbours_b

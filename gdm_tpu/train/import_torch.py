@@ -48,6 +48,21 @@ _ALIASES = {
     "pcd_emb.cnn_up_stages.2.0.0.bias":
         "pcd_emb.cnn_up_stages.3.1.0.bias",
 }
+# DGCNN variant: bn1..bn8 are registered both as attributes and inside
+# the conv Sequentials (dgcnn.py:67-100) -> duplicate names convN.1.*
+for _root in ("pcd_emb", "model_emb"):
+    for _n in range(1, 9):
+        for _leaf in ("weight", "bias", "running_mean", "running_var"):
+            _ALIASES[f"{_root}.bn{_n}.{_leaf}"] = \
+                f"{_root}.conv{_n}.1.{_leaf}"
+
+# torch buffers the reference registers but that are model INPUTS here
+# (mesh geometry/graph constants) — expected in checkpoints, not a gap
+_IGNORED_BUFFERS = (
+    "model_emb.mesh", "model_emb.xyz", "model_emb.mesh_graph_x",
+    "model_emb.mesh_graph_edge_index", "model_emb.mesh_graph_edge_attr",
+    "model_emb.const_one", "model_emb.sys_idx",
+)
 _UP_TO_STAGE = {"up_1": "0.0", "up_2": "1.0", "up_3": "3.0"}
 _FUSE = {
     "ds_r2p_pre": "ds_fuse_r2p_pre_layers",
@@ -125,6 +140,8 @@ def _map_leaf(collection: str, path: tuple[str, ...]):
 
     # ---------- mesh branch (SplineCNN.py mesh_convs/mesh_final) ----------
     if path[0] == "model_emb":
+        if path[1] == "trunk":                 # DGCNN variant (dgcnn.py)
+            return _map_dgcnn_trunk("model_emb", path, leaf, collection)
         if path[1].startswith("conv_"):
             i = int(path[1].split("_")[-1])
             return f"model_emb.mesh_convs.{i}.{leaf}", _identity
@@ -141,8 +158,25 @@ def _map_leaf(collection: str, path: tuple[str, ...]):
     raise KeyError(f"no torch mapping for flax leaf {collection}:{p}")
 
 
+def _map_dgcnn_trunk(root, path, leaf, collection):
+    """DgcnnPcdEmb / DgcnnMeshEmb trunk (dgcnn.py:58-236): conv1..conv8
+    are Sequential(Conv, bnN-shared, LeakyReLU); conv9 a bare Conv1d.
+
+    root: torch prefix ('' when the caller prepends one, _map_pcd_emb)."""
+    pre = root + "." if root else ""
+    conv = path[2]                              # 'conv1'..'conv9' / 'dp1'
+    if conv == "conv9":                         # bare conv, no BN
+        return f"{pre}conv9.weight", _dense_fwd
+    n = int(conv[4:])
+    if path[3] == "Dense_0":
+        return f"{pre}{conv}.0.weight", _dense_fwd
+    return _map_bn(f"{pre}bn{n}", leaf, collection)
+
+
 def _map_pcd_emb(path, leaf, collection):
     sub = path[1]
+    if sub == "trunk":                          # DGCNN variant
+        return _map_dgcnn_trunk("", path, leaf, collection)
 
     # fusion 1x1 conv2d blocks (ffb6d.py:44-122)
     for flax_name, torch_list in _FUSE.items():
@@ -300,7 +334,8 @@ def import_state_dict(params, batch_stats, torch_state: dict,
         "missing": missing,
         "unused": sorted(
             k for k in set(torch_np) - used
-            if not k.endswith("num_batches_tracked")),
+            if not k.endswith("num_batches_tracked")
+            and k not in _IGNORED_BUFFERS),
     }
     new["params"] = unflatten_dict(out_flat["params"])
     new["batch_stats"] = unflatten_dict(out_flat["batch_stats"])

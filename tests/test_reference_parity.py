@@ -84,7 +84,125 @@ def _random_problem(rng, B=2, N=120, M=48, C=32, fg_counts=(60, 40)):
     return rgbd, mesh_feats, mesh_xyz, labels, match_idx, vis, RT
 
 
-class TestMatchingLossParity:
+@pytest.fixture(scope="module")
+def ref_dgcnn_cls():
+    """Import the reference DGCNN GeoMatch (models/geoMatch_DGCNN.py) —
+    pure torch once .cuda()/cuda-arange are patched and the mesh file
+    load is intercepted."""
+    import torch
+
+    stubs = {
+        "normalSpeed": {},
+        "plyfile": {"PlyData": object},
+        "torch_geometric": {},
+        "torch_geometric.data": {"Data": object},
+    }
+    added = []
+    for name, attrs in stubs.items():
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+            added.append(name)
+    paths = ["/root/reference"]
+    before = set(sys.modules)
+    sys.path[:0] = paths
+    orig_cuda = torch.Tensor.cuda
+    orig_arange = torch.arange
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    def arange(*a, **k):
+        if (k.get("device") is not None
+                and str(k["device"]).startswith("cuda")
+                and not torch.cuda.is_available()):
+            k["device"] = "cpu"
+        return orig_arange(*a, **k)
+
+    torch.arange = arange
+    try:
+        from models.geoMatch_DGCNN import GeoMatch
+
+        yield GeoMatch
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        torch.arange = orig_arange
+        for p in paths:
+            sys.path.remove(p)
+        for name in (set(sys.modules) - before) | set(added):
+            sys.modules.pop(name, None)
+
+
+class TestDGCNNForwardParity:
+    def test_forward_and_import_match_reference(self, ref_dgcnn_cls):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
+        from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
+        from gdm_tpu.train.import_torch import import_state_dict
+
+        N, M = 256, 128
+        rng = np.random.RandomState(0)
+        mesh_raw = np.zeros((M, 9), np.float32)
+        mesh_raw[:, :3] = rng.randn(M, 3) * 40            # mm
+        mesh_raw[:, 3:6] = rng.randint(0, 255, (M, 3))
+        nrm = rng.randn(M, 3)
+        mesh_raw[:, 6:9] = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+
+        if not hasattr(np, "float"):                      # numpy>=2
+            np.float = float                              # noqa: NPY001
+        orig_load = np.load
+        np.load = lambda *a, **k: mesh_raw
+        try:
+            torch.manual_seed(0)
+            ref = ref_dgcnn_cls(
+                {"feat_dim": 128, "n_mesh_node": M, "model_pth": "x"}, 1)
+        finally:
+            np.load = orig_load
+        ref.eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        cld = rng.randn(1, N, 9).astype(np.float32) * 0.1
+
+        # our mesh input: the same normalisation load_mesh applies
+        pts = mesh_raw[:, :3] / 1000.0
+        rgb_n = (mesh_raw[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        mesh_x = jnp.asarray(np.concatenate(
+            [pts, rgb_n, mesh_raw[:, 6:9]], axis=1).astype(np.float32))
+
+        model = GeoMatchDGCNN()
+        gt = {
+            "cld_rgb_nrm": jnp.asarray(cld),
+            "labels": jnp.ones((1, N), jnp.int32),
+            "origin_labels": jnp.ones((1, N), jnp.int32),
+            "match_idx": jnp.zeros((1, N), jnp.int32),
+            "visible_flag": jnp.ones((1, M), jnp.int32),
+            "RT": jnp.tile(jnp.eye(3, 4), (1, 1, 1)),
+        }
+        r = jax.random.PRNGKey(0)
+        v = model.init({"params": r, "dropout": jax.random.fold_in(r, 1)},
+                       gt, mesh_x, train=True)
+        newp, news, report = import_state_dict(
+            v["params"], v["batch_stats"], sd)
+        assert not report["missing"], report["missing"][:4]
+        assert not report["unused"], report["unused"][:4]
+
+        out_ours = model.apply(
+            {"params": newp, "batch_stats": news},
+            {"cld_rgb_nrm": jnp.asarray(cld)}, mesh_x, train=False)
+
+        with torch.no_grad():
+            out_ref = ref({"cld_rgb_nrm": torch.tensor(
+                np.transpose(cld, (0, 2, 1)))})
+
+        for key, ours in (("rgbd", np.asarray(out_ours["rgbd"])),
+                          ("seg", np.asarray(out_ours["seg"])),
+                          ("mesh", np.asarray(out_ours["mesh"])[None])):
+            rf = np.transpose(out_ref[key].numpy(), (0, 2, 1))
+            rel = np.linalg.norm(ours - rf) / np.linalg.norm(rf)
+            assert rel < 1e-5, (key, rel)
     def _reference_value(self, ref_geomatch_cls, prob, positive_r):
         import torch
 
