@@ -69,11 +69,15 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
         "eval", "--dataset", "lmo", "--data-root", bop_root,
         "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2",
         "--num-workers", "2", "--knn-chunk", "64",
-        "--output-dir", out_dir,
+        "--output-dir", out_dir, "--vsd",
     ])
     assert "ape" in results["recalls"]
     # all 4 test frames got a prediction row
     assert len(results["errors"]["ape"]["ad"]) == 4
+    # --vsd: device-rendered VSD computed per frame from models_eval ply
+    assert len(results["errors"]["ape"]["vsd"]) == 4
+    assert all(0.0 <= e <= 1.0 for e in results["errors"]["ape"]["vsd"])
+    assert "vsd" in results["table"]
     # artifacts written
     assert osp.exists(osp.join(out_dir, "_lmo_tab.txt"))
     assert osp.exists(osp.join(out_dir, "gt_lmo-test.csv"))
