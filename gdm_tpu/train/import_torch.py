@@ -342,10 +342,15 @@ def import_state_dict(params, batch_stats, torch_state: dict,
     return new["params"], new["batch_stats"], report
 
 
-def export_state_dict(params, batch_stats) -> dict:
+def export_state_dict(params, batch_stats, like: dict | None = None) -> dict:
     """Inverse of import_state_dict: flax trees -> reference-named torch
     state dict (numpy values).  Used for round-trip testing and for
-    exporting trained TPU weights back to the reference format."""
+    exporting trained TPU weights back to the reference format.
+
+    like: optional {name: array-or-shape} template (e.g. an existing
+    reference state dict); matching keys are reshaped to its ranks so the
+    result loads with ``strict=True`` (torch stores 1x1 point convs as
+    rank-3/4 tensors where this module's canonical form is [out, in])."""
     keymap = flax_to_torch_keymap(params, batch_stats)
     flat = {"params": flatten_dict(params),
             "batch_stats": flatten_dict(batch_stats)}
@@ -363,6 +368,21 @@ def export_state_dict(params, batch_stats) -> dict:
     for a, b in _ALIASES.items():         # mirror shared-module names
         if a in out:
             out[b] = out[a]
+    # torch BN modules also serialize a step counter; emit zeros so the
+    # export loads into the reference with strict=True
+    for k in list(out):
+        if k.endswith(".running_mean"):
+            out[k[:-len("running_mean")] + "num_batches_tracked"] = \
+                np.zeros((), np.int64)
+    if like:
+        for k, v in out.items():
+            t = like.get(k)
+            if t is None:
+                continue
+            shape = tuple(t if isinstance(t, (tuple, list))
+                          else np.shape(t))
+            if shape != v.shape and int(np.prod(shape)) == v.size:
+                out[k] = v.reshape(shape)
     return out
 
 

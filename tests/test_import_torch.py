@@ -155,13 +155,31 @@ class TestReferenceParity:
 
     def test_pcd_emb_names_match_reference_model(self, trees, ref_model):
         _, sd_ref = ref_model
-        ref = {k for k in sd_ref
-               if not k.endswith("num_batches_tracked")}
+        ref = set(sd_ref)                  # incl. num_batches_tracked
         sd = export_state_dict(*trees)
         ours = {k[len("pcd_emb."):] for k in sd
                 if k.startswith("pcd_emb.")}
         assert sorted(ours - ref) == []    # we emit nothing fictional
         assert sorted(ref - ours) == []    # and cover every real tensor
+
+    def test_export_strict_loads_into_reference(self, trees, ref_model):
+        """Trained-TPU-weights -> reference .pth flow: the export (with
+        a shape template) must satisfy torch's strict load."""
+        import torch
+
+        ref, sd_ref = ref_model
+        sd = export_state_dict(
+            *trees, like={"pcd_emb." + k: v for k, v in sd_ref.items()})
+        sub = {k[len("pcd_emb."):]: torch.tensor(np.ascontiguousarray(v))
+               for k, v in sd.items() if k.startswith("pcd_emb.")}
+        try:
+            ref.load_state_dict(sub, strict=True)  # raises on mismatch
+        finally:
+            # the fixture is class-scoped; later tests compare against
+            # the original weights
+            ref.load_state_dict(
+                {k: torch.tensor(v) for k, v in sd_ref.items()},
+                strict=True)
 
     def test_forward_matches_reference_model(self, ref_model):
         """Import the reference's random-init weights and compare the
