@@ -96,8 +96,11 @@ def _vsd_core(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
     h, w = window
     v_est = verts @ R_est.T + t_est[None, :]
     v_gt = verts @ R_gt.T + t_gt[None, :]
-    d_est = render_depth_window(v_est, faces, K, origin, window, tile)
-    d_gt = render_depth_window(v_gt, faces, K, origin, window, tile)
+    # one vmapped rasterization: XLA batches the two scatter-min z-buffers
+    # into a single kernel instead of two dispatches
+    d_est, d_gt = jax.vmap(
+        lambda v: render_depth_window(v, faces, K, origin, window, tile)
+    )(jnp.stack([v_est, v_gt]))
 
     # zero model depth beyond the full image bounds (a full-frame render
     # has no such pixels)
