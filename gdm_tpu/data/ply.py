@@ -3,8 +3,8 @@
 Reference: utils/ply.py (load_ply/read_ply/write_ply, normalize_color
 :502-509, normalize_pts :511-517) and the fps-keypoint mesh loader at
 datasets/lm/linemod_pbr.py:89-97.  Re-written from the PLY spec: supports
-ascii and binary_little_endian, vertex properties only (faces are parsed
-but ignored — the matching pipeline consumes vertices).
+ascii and binary_little_endian.  The matching pipeline consumes vertices;
+faces feed the VSD depth renderer (eval/vsd.py).
 """
 
 from __future__ import annotations
@@ -117,8 +117,9 @@ def _read_binary_element(f, count, props, endian):
 
 
 def write_ply(path: str, pts: np.ndarray, colors: np.ndarray | None = None,
-              normals: np.ndarray | None = None) -> None:
-    """Minimal binary_little_endian vertex-only writer."""
+              normals: np.ndarray | None = None,
+              faces: np.ndarray | None = None) -> None:
+    """Minimal binary_little_endian writer (vertices + optional faces)."""
     n = len(pts)
     props = [("x", "f4"), ("y", "f4"), ("z", "f4")]
     if normals is not None:
@@ -130,6 +131,9 @@ def write_ply(path: str, pts: np.ndarray, colors: np.ndarray | None = None,
     header += [
         "property "
         + {"f4": "float", "u1": "uchar"}[d] + f" {nm}" for nm, d in props]
+    if faces is not None:
+        header += [f"element face {len(faces)}",
+                   "property list uchar int vertex_indices"]
     header.append("end_header")
     rec = np.empty(n, np.dtype([(nm, "<" + d) for nm, d in props]))
     rec["x"], rec["y"], rec["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -141,6 +145,12 @@ def write_ply(path: str, pts: np.ndarray, colors: np.ndarray | None = None,
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         f.write(rec.tobytes())
+        if faces is not None:
+            fr = np.empty(len(faces), np.dtype(
+                [("k", "u1"), ("v", "<i4", (3,))]))
+            fr["k"] = 3
+            fr["v"] = np.asarray(faces, np.int32)
+            f.write(fr.tobytes())
 
 
 def normalize_color(rgb: np.ndarray) -> np.ndarray:

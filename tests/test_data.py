@@ -61,21 +61,15 @@ def bop_root(tmp_path_factory):
     np.save(osp.join(root, "kps", "obj_000001_fps.npy"), mesh)
 
     # models_eval PLY with faces (hull) so the --vsd path has a render
-    # mesh; ascii BOP-style, millimetres
+    # mesh (BOP-style, millimetres); also round-trips our write_ply faces
     from scipy.spatial import ConvexHull
+
+    from gdm_tpu.data.ply import write_ply
 
     hull = ConvexHull(mesh[:, :3])
     os.makedirs(osp.join(root, "models_eval"))
-    with open(osp.join(root, "models_eval", "obj_000001.ply"), "w") as f:
-        f.write("ply\nformat ascii 1.0\n"
-                f"element vertex {len(mesh)}\n"
-                "property float x\nproperty float y\nproperty float z\n"
-                f"element face {len(hull.simplices)}\n"
-                "property list uchar int vertex_indices\nend_header\n")
-        for p in mesh[:, :3]:
-            f.write(f"{p[0]} {p[1]} {p[2]}\n")
-        for tri in hull.simplices:
-            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+    write_ply(osp.join(root, "models_eval", "obj_000001.ply"),
+              mesh[:, :3], faces=hull.simplices)
 
     K = np.array([[140.0, 0, IM_W / 2], [0, 140.0, IM_H / 2], [0, 0, 1]],
                  np.float32)
