@@ -423,6 +423,94 @@ def evaluate(args):
     return None
 
 
+def score(args):
+    """Offline re-scoring of a BOP-format results CSV.
+
+    Mirrors the reference's offline eval workflow (lib/pysixd/scripts/
+    eval_calc_errors.py + eval_calc_scores.py, wired via
+    cfg.VAL.SCRIPT_PATH, config/ycbv_cfg.py:143-152): take a results CSV
+    (the file `eval` writes — scene_id,im_id,obj_id,score,R,t[mm],time),
+    recompute every pose error against the dataset GT, and print/dump
+    the same metric table the online evaluator produces (incl. --vsd).
+    """
+    from gdm_tpu.configs.base import get_config
+    from gdm_tpu.data.dataset import PoseDataset
+    from gdm_tpu.data.ply import load_ply
+    from gdm_tpu.eval.evaluator import Evaluator
+    from gdm_tpu.refdata import get as get_refdata
+    from gdm_tpu.refdata._base import all_symmetry_rotations
+
+    cfg = get_config(args.dataset, args.opt)
+    refd = get_refdata(args.dataset)
+    cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
+    try:
+        models_info = refd.load_models_info(
+            osp.join(args.data_root, "models"))
+    except FileNotFoundError:
+        models_info = {}
+
+    diameters, models_pts, sym_rots, vsd_meshes, gts = {}, {}, {}, {}, {}
+    for cls_id in cls_ids:
+        obj_name = refd.id2obj[cls_id]
+        diameters[obj_name] = refd.diameters_mm_by_id[cls_id] / 1000.0
+        eval_ply = osp.join(args.data_root, "models_eval",
+                            f"obj_{cls_id:06d}.ply")
+        if osp.exists(eval_ply):
+            ply = load_ply(eval_ply)
+            models_pts[obj_name] = ply["pts"] / 1000.0
+            if args.vsd and "faces" in ply:
+                vsd_meshes[obj_name] = (models_pts[obj_name],
+                                        ply["faces"])
+        else:
+            from gdm_tpu.data.ply import load_fps_mesh
+
+            models_pts[obj_name] = load_fps_mesh(
+                osp.join(args.data_root, "kps"), cls_id,
+                cfg.data.model_pt_num)[:, :3] / 1000.0
+        if str(cls_id) in models_info and obj_name in cfg.data.sym_objs:
+            sym_rots[obj_name] = all_symmetry_rotations(
+                models_info[str(cls_id)])
+        ds = PoseDataset(cfg, cls_id, "test",
+                         diameter_m=diameters[obj_name],
+                         data_root=args.data_root)
+        gts[obj_name] = {
+            r.file_name: {"R": r.pose[:, :3], "t": r.pose[:, 3],
+                          "K": r.cam_K, "depth_file": r.depth_file,
+                          "depth_factor": r.depth_factor}
+            for r in ds.annos}
+
+    evaluator = Evaluator(
+        args.dataset, list(gts), diameters, models_pts,
+        sym_objs=cfg.data.sym_objs, sym_rots=sym_rots,
+        output_dir=args.output_dir, obj2id=refd.obj2id,
+        vsd_meshes=vsd_meshes)
+
+    n_rows = 0
+    with open(args.csv) as f:
+        header = f.readline()
+        assert header.strip().startswith("scene_id"), header
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 7:
+                continue
+            scene, im, obj_id = parts[0], parts[1], int(parts[2])
+            if obj_id not in refd.id2obj:
+                continue
+            R = np.array([float(x) for x in parts[4].split()],
+                         np.float64).reshape(3, 3)
+            t = np.array([float(x) for x in parts[5].split()],
+                         np.float64) / 1000.0
+            evaluator.add_prediction(
+                refd.id2obj[obj_id], f"{int(scene):06d}/{int(im):06d}",
+                R, t, time=float(parts[6]))
+            n_rows += 1
+    if n_rows == 0:
+        raise SystemExit(f"no result rows parsed from {args.csv}")
+    results = evaluator.evaluate(gts)
+    print(results["table"])
+    return results
+
+
 def build_parser():
     p = argparse.ArgumentParser("gdm_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -469,6 +557,17 @@ def build_parser():
     e.add_argument("--exact-knn", action="store_true",
                    help="exact top-k for the aggregation KNN pyramid "
                         "(~7x slower; measured no pose-accuracy gain)")
+
+    s = sub.add_parser(
+        "score", help="offline re-scoring of a BOP results CSV "
+                      "(reference lib/pysixd offline eval workflow)")
+    common(s)
+    s.add_argument("--csv", required=True,
+                   help="results CSV (the gt_<dataset>-test.csv that "
+                        "`eval` writes)")
+    s.add_argument("--cls-id", type=int, default=None)
+    s.add_argument("--output-dir", default=None)
+    s.add_argument("--vsd", action="store_true")
     return p
 
 
@@ -479,6 +578,8 @@ def main(argv=None):
     with profiler_trace(args.profile_dir):
         if args.command == "train":
             return train(args)
+        if args.command == "score":
+            return score(args)
         return evaluate(args)
 
 

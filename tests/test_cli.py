@@ -85,6 +85,18 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
         lines = f.read().strip().split("\n")
     assert len(lines) == 5  # header + 4 frames
 
+    # offline re-scoring of the CSV reproduces the online metrics
+    scored = cli.main([
+        "score", "--dataset", "lmo", "--data-root", bop_root,
+        "--csv", osp.join(out_dir, "gt_lmo-test.csv"), "--vsd"])
+    for m in ("ad_10", "re_5", "te_5", "proj_5"):
+        assert scored["recalls"]["ape"][m] == \
+            results["recalls"]["ape"][m], m
+    assert scored["errors"]["ape"]["ad"] == pytest.approx(
+        results["errors"]["ape"]["ad"], abs=1e-9)
+    assert scored["errors"]["ape"]["vsd"] == pytest.approx(
+        results["errors"]["ape"]["vsd"], abs=1e-6)
+
 
 @pytest.fixture(scope="module")
 def bop_root_2obj(tmp_path_factory):
