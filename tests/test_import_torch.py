@@ -90,55 +90,23 @@ class TestKeymap:
 
 def _reference_ffb6d_state_dict():
     """Instantiate the ACTUAL reference FFB6DEmb (models/ffb6d.py, pure
-    torch) with its compiled extensions stubbed, and return a numpy
-    state dict of a seeded random init.  Reference modules and stubs are
-    dropped from sys.modules afterwards (the reference uses generic
-    top-level names: models, config, utils, helper_tool, ...)."""
-    import sys
-    import types
-
+    torch) with its compiled extensions stubbed (tests/reference_stubs),
+    and return it with a numpy state dict of a seeded random init.
+    load_state_dict is no-op'd only during construction (the reference's
+    ResNet builder strict-loads downloaded weights; no egress here), so
+    the returned module supports real strict loads and forwards."""
     import torch
-    import torch.utils.model_zoo as mz
 
-    stubs = [
-        "cpp_wrappers", "cpp_wrappers.cpp_subsampling",
-        "cpp_wrappers.cpp_subsampling.grid_subsampling",
-        "nearest_neighbors", "nearest_neighbors.lib",
-        "nearest_neighbors.lib.python",
-        "nearest_neighbors.lib.python.nearest_neighbors",
-        "torch_geometric", "torch_geometric.data",
-    ]
-    added_mods = []
-    for name in stubs:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == "torch_geometric.data":
-                mod.Data = object
-            sys.modules[name] = mod
-            added_mods.append(name)
-    orig_load_url = mz.load_url
-    orig_lsd = torch.nn.Module.load_state_dict
-    mz.load_url = lambda *a, **k: {}
-    torch.nn.Module.load_state_dict = lambda self, sd, *a, **k: None
-    paths = ["/root/reference/models/RandLA", "/root/reference"]
-    before = set(sys.modules)
-    sys.path[:0] = paths
-    try:
+    from reference_stubs import reference_imports
+
+    with reference_imports(patch_load_state_dict=True):
         from config.lmo_cfg import ConfigRandLA
         from models.ffb6d import FFB6DEmb
 
         torch.manual_seed(0)
         m = FFB6DEmb(ConfigRandLA())
-        m.eval()
-        return m, {k: v.detach().numpy()
-                   for k, v in m.state_dict().items()}
-    finally:
-        mz.load_url = orig_load_url
-        torch.nn.Module.load_state_dict = orig_lsd
-        for p in paths:
-            sys.path.remove(p)
-        for name in (set(sys.modules) - before) | set(added_mods):
-            sys.modules.pop(name, None)
+    m.eval()
+    return m, {k: v.detach().numpy() for k, v in m.state_dict().items()}
 
 
 @pytest.mark.skipif(not __import__("os.path", fromlist=["isdir"]).isdir(

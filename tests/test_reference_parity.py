@@ -22,52 +22,18 @@ pytestmark = pytest.mark.skipif(
     not osp.isdir("/root/reference"), reason="reference tree not available")
 
 
+from reference_stubs import reference_imports
+
+
 @pytest.fixture(scope="module")
 def ref_geomatch_cls():
-    """Import the reference GeoMatch class (no construction) with its
-    non-pure-torch deps stubbed, and torch .cuda() patched to a no-op."""
-    import torch
-
-    stubs = {
-        "normalSpeed": {},
-        "plyfile": {"PlyData": object},
-        "torch_geometric": {},
-        "torch_geometric.data": {"Data": object},
-        "torch_geometric.nn": {"SplineConv": object},
-        "torch_geometric.transforms": {},
-        "cpp_wrappers": {},
-        "cpp_wrappers.cpp_subsampling": {},
-        "cpp_wrappers.cpp_subsampling.grid_subsampling": {},
-        "nearest_neighbors": {},
-        "nearest_neighbors.lib": {},
-        "nearest_neighbors.lib.python": {},
-        "nearest_neighbors.lib.python.nearest_neighbors": {},
-        "mmcv": {},   # ref/*.py import it; only used inside functions
-    }
-    added = []
-    for name, attrs in stubs.items():
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-            added.append(name)
-    paths = ["/root/reference/models/RandLA", "/root/reference"]
-    before = set(sys.modules)
-    sys.path[:0] = paths
-    orig_cuda = torch.Tensor.cuda
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    try:
+    """Import the reference GeoMatch class (no construction); stubs and
+    the .cuda() no-op stay active while the module's tests run."""
+    with reference_imports():
         from models.geoMatch import GeoMatch
         from models.loss import CircleLoss
 
         yield GeoMatch, CircleLoss
-    finally:
-        torch.Tensor.cuda = orig_cuda
-        for p in paths:
-            sys.path.remove(p)
-        for name in (set(sys.modules) - before) | set(added):
-            sys.modules.pop(name, None)
 
 
 def _random_problem(rng, B=2, N=120, M=48, C=32, fg_counts=(60, 40)):
@@ -87,50 +53,12 @@ def _random_problem(rng, B=2, N=120, M=48, C=32, fg_counts=(60, 40)):
 @pytest.fixture(scope="module")
 def ref_dgcnn_cls():
     """Import the reference DGCNN GeoMatch (models/geoMatch_DGCNN.py) —
-    pure torch once .cuda()/cuda-arange are patched and the mesh file
-    load is intercepted."""
-    import torch
-
-    stubs = {
-        "normalSpeed": {},
-        "plyfile": {"PlyData": object},
-        "torch_geometric": {},
-        "torch_geometric.data": {"Data": object},
-    }
-    added = []
-    for name, attrs in stubs.items():
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-            added.append(name)
-    paths = ["/root/reference"]
-    before = set(sys.modules)
-    sys.path[:0] = paths
-    orig_cuda = torch.Tensor.cuda
-    orig_arange = torch.arange
-    torch.Tensor.cuda = lambda self, *a, **k: self
-
-    def arange(*a, **k):
-        if (k.get("device") is not None
-                and str(k["device"]).startswith("cuda")
-                and not torch.cuda.is_available()):
-            k["device"] = "cpu"
-        return orig_arange(*a, **k)
-
-    torch.arange = arange
-    try:
+    pure torch once the shared stubs/patches are active (they stay so
+    for the module's tests: the forward builds cuda arange indices)."""
+    with reference_imports():
         from models.geoMatch_DGCNN import GeoMatch
 
         yield GeoMatch
-    finally:
-        torch.Tensor.cuda = orig_cuda
-        torch.arange = orig_arange
-        for p in paths:
-            sys.path.remove(p)
-        for name in (set(sys.modules) - before) | set(added):
-            sys.modules.pop(name, None)
 
 
 class TestDGCNNForwardParity:
@@ -208,9 +136,7 @@ class TestDGCNNForwardParity:
 
         GeoMatch, CircleLoss = ref_geomatch_cls
         rgbd, mesh_feats, mesh_xyz, labels, match_idx, vis, RT = prob
-        orig_cuda = torch.Tensor.cuda
-        torch.Tensor.cuda = lambda self, *a, **k: self
-        try:
+        if True:  # .cuda() is already no-op'd by the module fixture
             shim = types.SimpleNamespace(
                 positive_r=positive_r,
                 feat_dim=rgbd.shape[2],
@@ -233,8 +159,6 @@ class TestDGCNNForwardParity:
                 torch.tensor(mesh_feats.T[None]),
                 x)
             return float(loss)
-        finally:
-            torch.Tensor.cuda = orig_cuda
 
     def _our_value(self, prob, positive_r):
         import jax.numpy as jnp
