@@ -105,7 +105,16 @@ gather_neighbours_b.defvjp(_gather_fwd, _gather_bwd)
 
 def max_pool_neighbours(feats: jax.Array, pool_idx: jax.Array) -> jax.Array:
     """random_sample parity (RandLANet.py:90-105): gather [B,M,K] neighbour
-    features and max over K -> [B,M,C]."""
+    features and max over K -> [B,M,C].
+
+    TRIED AND REJECTED (2026-08-17): a fused custom VJP that scatters
+    only the argmax row per (point, channel) — M*C updates instead of
+    the composed VJP's M*K-row one-hot contraction.  Numerically exact,
+    but the per-channel scatter-add measured 562-640 ms/step vs 193-290
+    for the composed path at b=24: TPU scatters with channel-varying
+    rows serialize, while XLA turns the composed max-grad + one-hot into
+    fused MXU work.  Keep the composed form.
+    """
     return jnp.max(gather_neighbours_b(feats, pool_idx), axis=2)
 
 
