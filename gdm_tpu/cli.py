@@ -80,6 +80,54 @@ def _make_model(cfg, diameter_m, mesh_fps, mesh_arr):
     return model, mesh_arr, mesh_arr.xyz, True
 
 
+def _eval_object_metadata(cfg, refd, cls_id, data_root, want_vsd, log,
+                          models_info, fallback_pts=None):
+    """Per-object eval metadata shared by evaluate() and score().
+
+    Returns (obj_name, diameter_m, model points [m], (verts, faces) for
+    VSD or None, symmetry rotations or None).  PLY loading, unit
+    conversions, and the kps fallback live HERE so the online and
+    offline scoring paths cannot diverge.
+    """
+    from gdm_tpu.data.ply import load_fps_mesh, load_ply
+    from gdm_tpu.refdata._base import all_symmetry_rotations
+
+    obj_name = refd.id2obj[cls_id]
+    diameter = refd.diameters_mm_by_id[cls_id] / 1000.0
+    eval_ply = osp.join(data_root, "models_eval", f"obj_{cls_id:06d}.ply")
+    vsd_mesh = None
+    if osp.exists(eval_ply):
+        ply = load_ply(eval_ply)
+        pts = ply["pts"] / 1000.0
+        if want_vsd:
+            if "faces" in ply:
+                vsd_mesh = (pts, ply["faces"])
+            else:
+                log.warning("--vsd: %s has no faces — skipping VSD "
+                            "for %s", eval_ply, obj_name)
+    else:
+        # load_fps_mesh already converts xyz to metres
+        pts = (fallback_pts if fallback_pts is not None else
+               load_fps_mesh(osp.join(data_root, "kps"), cls_id,
+                             cfg.data.model_pt_num)[:, :3])
+        if want_vsd:
+            log.warning("--vsd: no faces for %s (missing %s) — "
+                        "skipping VSD for this object", obj_name,
+                        eval_ply)
+    sym = None
+    if str(cls_id) in models_info and obj_name in cfg.data.sym_objs:
+        sym = all_symmetry_rotations(models_info[str(cls_id)])
+    return obj_name, diameter, pts, vsd_mesh, sym
+
+
+def _gts_from_annos(ds):
+    """GT dict for the Evaluator (file_name -> pose/K/depth source)."""
+    return {r.file_name: {"R": r.pose[:, :3], "t": r.pose[:, 3],
+                          "K": r.cam_K, "depth_file": r.depth_file,
+                          "depth_factor": r.depth_factor}
+            for r in ds.annos}
+
+
 def _train_inputs(fin, knn_chunk, needs_pyramid, positive_r=None):
     """Model inputs for a finalized batch (train keys included).
 
@@ -246,12 +294,10 @@ def evaluate(args):
     from gdm_tpu.data.dataset import PoseDataset
     from gdm_tpu.data.loader import DataLoader
     from gdm_tpu.data.pipeline import assemble_inputs
-    from gdm_tpu.data.ply import load_ply
     from gdm_tpu.eval.evaluator import Evaluator
     from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
     from gdm_tpu.parallel import all_gather_host, make_mesh, replicate
     from gdm_tpu.refdata import get as get_refdata
-    from gdm_tpu.refdata._base import all_symmetry_rotations
     from gdm_tpu.train import create_train_state, load_checkpoint
     from gdm_tpu.train.import_torch import load_torch_reference_checkpoint
     from gdm_tpu.utils.logging import get_logger
@@ -280,28 +326,18 @@ def evaluate(args):
     state_template = None
     encode_mesh = infer = None
     for cls_id in cls_ids:
-        obj_name = refd.id2obj[cls_id]
-        obj_names.append(obj_name)
-        diameters[obj_name] = refd.diameters_mm_by_id[cls_id] / 1000.0
-        eval_ply = osp.join(args.data_root, "models_eval",
-                            f"obj_{cls_id:06d}.ply")
         _, _, mesh_fps, graph, mesh_arr = _build_object_setup(
             cfg, refd, cls_id, args.data_root)
-        if osp.exists(eval_ply):
-            ply = load_ply(eval_ply)
-            models_pts[obj_name] = ply["pts"] / 1000.0
-            if args.vsd and "faces" in ply:
-                vsd_meshes[obj_name] = (models_pts[obj_name],
-                                        ply["faces"])
-        else:
-            models_pts[obj_name] = mesh_fps[:, :3]
-            if args.vsd:
-                log.warning("--vsd: no faces for %s (missing %s) — "
-                            "skipping VSD for this object",
-                            obj_name, eval_ply)
-        if str(cls_id) in models_info and obj_name in cfg.data.sym_objs:
-            sym_rots[obj_name] = all_symmetry_rotations(
-                models_info[str(cls_id)])
+        obj_name, diameter, pts, vsd_mesh, sym = _eval_object_metadata(
+            cfg, refd, cls_id, args.data_root, args.vsd, log,
+            models_info, fallback_pts=mesh_fps[:, :3])
+        obj_names.append(obj_name)
+        diameters[obj_name] = diameter
+        models_pts[obj_name] = pts
+        if vsd_mesh is not None:
+            vsd_meshes[obj_name] = vsd_mesh
+        if sym is not None:
+            sym_rots[obj_name] = sym
 
         ds = PoseDataset(cfg, cls_id, "test",
                          diameter_m=diameters[obj_name],
@@ -309,11 +345,7 @@ def evaluate(args):
         if len(ds) == 0:
             log.warning("no test annotations for %s", obj_name)
             continue
-        gts[obj_name] = {
-            r.file_name: {"R": r.pose[:, :3], "t": r.pose[:, 3],
-                          "K": r.cam_K, "depth_file": r.depth_file,
-                          "depth_factor": r.depth_factor}
-            for r in ds.annos}
+        gts[obj_name] = _gts_from_annos(ds)
         if evaluator is None:
             evaluator = Evaluator(
                 args.dataset, [refd.id2obj[c] for c in cls_ids],
@@ -433,13 +465,13 @@ def score(args):
     recompute every pose error against the dataset GT, and print/dump
     the same metric table the online evaluator produces (incl. --vsd).
     """
-    from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
-    from gdm_tpu.data.ply import load_ply
+    from gdm_tpu.configs.base import get_config
     from gdm_tpu.eval.evaluator import Evaluator
     from gdm_tpu.refdata import get as get_refdata
-    from gdm_tpu.refdata._base import all_symmetry_rotations
+    from gdm_tpu.utils.logging import get_logger
 
+    log = get_logger("score")
     cfg = get_config(args.dataset, args.opt)
     refd = get_refdata(args.dataset)
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
@@ -451,33 +483,17 @@ def score(args):
 
     diameters, models_pts, sym_rots, vsd_meshes, gts = {}, {}, {}, {}, {}
     for cls_id in cls_ids:
-        obj_name = refd.id2obj[cls_id]
-        diameters[obj_name] = refd.diameters_mm_by_id[cls_id] / 1000.0
-        eval_ply = osp.join(args.data_root, "models_eval",
-                            f"obj_{cls_id:06d}.ply")
-        if osp.exists(eval_ply):
-            ply = load_ply(eval_ply)
-            models_pts[obj_name] = ply["pts"] / 1000.0
-            if args.vsd and "faces" in ply:
-                vsd_meshes[obj_name] = (models_pts[obj_name],
-                                        ply["faces"])
-        else:
-            from gdm_tpu.data.ply import load_fps_mesh
-
-            models_pts[obj_name] = load_fps_mesh(
-                osp.join(args.data_root, "kps"), cls_id,
-                cfg.data.model_pt_num)[:, :3] / 1000.0
-        if str(cls_id) in models_info and obj_name in cfg.data.sym_objs:
-            sym_rots[obj_name] = all_symmetry_rotations(
-                models_info[str(cls_id)])
+        obj_name, diameter, pts, vsd_mesh, sym = _eval_object_metadata(
+            cfg, refd, cls_id, args.data_root, args.vsd, log, models_info)
+        diameters[obj_name] = diameter
+        models_pts[obj_name] = pts
+        if vsd_mesh is not None:
+            vsd_meshes[obj_name] = vsd_mesh
+        if sym is not None:
+            sym_rots[obj_name] = sym
         ds = PoseDataset(cfg, cls_id, "test",
-                         diameter_m=diameters[obj_name],
-                         data_root=args.data_root)
-        gts[obj_name] = {
-            r.file_name: {"R": r.pose[:, :3], "t": r.pose[:, 3],
-                          "K": r.cam_K, "depth_file": r.depth_file,
-                          "depth_factor": r.depth_factor}
-            for r in ds.annos}
+                         diameter_m=diameter, data_root=args.data_root)
+        gts[obj_name] = _gts_from_annos(ds)
 
     evaluator = Evaluator(
         args.dataset, list(gts), diameters, models_pts,
@@ -485,10 +501,15 @@ def score(args):
         output_dir=args.output_dir, obj2id=refd.obj2id,
         vsd_meshes=vsd_meshes)
 
-    n_rows = 0
+    # BOP results may carry several hypotheses per (scene, image, object)
+    # ranked by the score column; keep the best-scored one
+    best = {}
     with open(args.csv) as f:
         header = f.readline()
-        assert header.strip().startswith("scene_id"), header
+        if not header.strip().startswith("scene_id"):
+            raise SystemExit(
+                f"{args.csv}: expected a BOP results CSV starting with a "
+                f"'scene_id,...' header, got: {header.strip()[:60]!r}")
         for line in f:
             parts = line.strip().split(",")
             if len(parts) < 7:
@@ -496,16 +517,20 @@ def score(args):
             scene, im, obj_id = parts[0], parts[1], int(parts[2])
             if obj_id not in refd.id2obj:
                 continue
-            R = np.array([float(x) for x in parts[4].split()],
-                         np.float64).reshape(3, 3)
-            t = np.array([float(x) for x in parts[5].split()],
-                         np.float64) / 1000.0
-            evaluator.add_prediction(
-                refd.id2obj[obj_id], f"{int(scene):06d}/{int(im):06d}",
-                R, t, time=float(parts[6]))
-            n_rows += 1
-    if n_rows == 0:
+            s = float(parts[3])
+            key = (obj_id, int(scene), int(im))
+            if key not in best or s > best[key][0]:
+                best[key] = (s, parts)
+    if not best:
         raise SystemExit(f"no result rows parsed from {args.csv}")
+    for (obj_id, scene, im), (_, parts) in best.items():
+        R = np.array([float(x) for x in parts[4].split()],
+                     np.float64).reshape(3, 3)
+        t = np.array([float(x) for x in parts[5].split()],
+                     np.float64) / 1000.0
+        evaluator.add_prediction(
+            refd.id2obj[obj_id], f"{scene:06d}/{im:06d}", R, t,
+            time=float(parts[6]))
     results = evaluator.evaluate(gts)
     print(results["table"])
     return results

@@ -97,6 +97,22 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     assert scored["errors"]["ape"]["vsd"] == pytest.approx(
         results["errors"]["ape"]["vsd"], abs=1e-6)
 
+    # multi-hypothesis CSVs: a junk pose with a LOWER score must lose to
+    # the original row (BOP results may carry several ranked hypotheses)
+    csv2 = osp.join(out_dir, "multi.csv")
+    with open(osp.join(out_dir, "gt_lmo-test.csv")) as f:
+        rows = f.read().strip().split("\n")
+    junk = rows[1].split(",")
+    junk[3] = "-99"                       # worse score
+    junk[5] = "0 0 9999"                  # garbage translation
+    with open(csv2, "w") as f:
+        f.write("\n".join(rows + [",".join(junk)]))
+    scored2 = cli.main([
+        "score", "--dataset", "lmo", "--data-root", bop_root,
+        "--csv", csv2])
+    assert scored2["errors"]["ape"]["ad"] == pytest.approx(
+        results["errors"]["ape"]["ad"], abs=1e-9)
+
 
 @pytest.fixture(scope="module")
 def bop_root_2obj(tmp_path_factory):

@@ -79,7 +79,8 @@ class TestDGCNNForwardParity:
         nrm = rng.randn(M, 3)
         mesh_raw[:, 6:9] = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
 
-        if not hasattr(np, "float"):                      # numpy>=2
+        had_float = hasattr(np, "float")
+        if not had_float:                                 # numpy>=2
             np.float = float                              # noqa: NPY001
         orig_load = np.load
         np.load = lambda *a, **k: mesh_raw
@@ -89,6 +90,8 @@ class TestDGCNNForwardParity:
                 {"feat_dim": 128, "n_mesh_node": M, "model_pth": "x"}, 1)
         finally:
             np.load = orig_load
+            if not had_float:
+                del np.float
         ref.eval()
         sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
@@ -131,34 +134,37 @@ class TestDGCNNForwardParity:
             rf = np.transpose(out_ref[key].numpy(), (0, 2, 1))
             rel = np.linalg.norm(ours - rf) / np.linalg.norm(rf)
             assert rel < 1e-5, (key, rel)
+
+
+class TestMatchingLossParity:
     def _reference_value(self, ref_geomatch_cls, prob, positive_r):
         import torch
 
         GeoMatch, CircleLoss = ref_geomatch_cls
         rgbd, mesh_feats, mesh_xyz, labels, match_idx, vis, RT = prob
-        if True:  # .cuda() is already no-op'd by the module fixture
-            shim = types.SimpleNamespace(
-                positive_r=positive_r,
-                feat_dim=rgbd.shape[2],
-                circle_loss=CircleLoss(16),
-                model_emb=types.SimpleNamespace(
-                    sys_corr_idx=None,
-                    _buffers={"xyz": torch.tensor(mesh_xyz)}),
-            )
-            shim.matching_loss = (
-                lambda *a: GeoMatch.matching_loss(shim, *a))
-            x = {
-                "labels": torch.tensor(labels, dtype=torch.int64),
-                "match_idx": torch.tensor(match_idx, dtype=torch.int64),
-                "RT": torch.tensor(RT),
-                "visible_flag": torch.tensor(vis, dtype=torch.int64),
-            }
-            loss = GeoMatch.pointwise_feature_matching(
-                shim,
-                torch.tensor(np.transpose(rgbd, (0, 2, 1))),
-                torch.tensor(mesh_feats.T[None]),
-                x)
-            return float(loss)
+        # .cuda() is already no-op'd by the module fixture
+        shim = types.SimpleNamespace(
+            positive_r=positive_r,
+            feat_dim=rgbd.shape[2],
+            circle_loss=CircleLoss(16),
+            model_emb=types.SimpleNamespace(
+                sys_corr_idx=None,
+                _buffers={"xyz": torch.tensor(mesh_xyz)}),
+        )
+        shim.matching_loss = (
+            lambda *a: GeoMatch.matching_loss(shim, *a))
+        x = {
+            "labels": torch.tensor(labels, dtype=torch.int64),
+            "match_idx": torch.tensor(match_idx, dtype=torch.int64),
+            "RT": torch.tensor(RT),
+            "visible_flag": torch.tensor(vis, dtype=torch.int64),
+        }
+        loss = GeoMatch.pointwise_feature_matching(
+            shim,
+            torch.tensor(np.transpose(rgbd, (0, 2, 1))),
+            torch.tensor(mesh_feats.T[None]),
+            x)
+        return float(loss)
 
     def _our_value(self, prob, positive_r):
         import jax.numpy as jnp
