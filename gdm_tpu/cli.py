@@ -85,12 +85,16 @@ def _eval_object_metadata(cfg, refd, cls_id, data_root, want_vsd, log,
     """Per-object eval metadata shared by evaluate() and score().
 
     Returns (obj_name, diameter_m, model points [m], (verts, faces) for
-    VSD or None, symmetry rotations or None).  PLY loading, unit
-    conversions, and the kps fallback live HERE so the online and
-    offline scoring paths cannot diverge.
+    VSD or None, symmetry rotations or None, full BOP symmetry
+    transforms [(R, t_m)] or None).  PLY loading, unit conversions, and
+    the kps fallback live HERE so the online and offline scoring paths
+    cannot diverge.
     """
     from gdm_tpu.data.ply import load_fps_mesh, load_ply
-    from gdm_tpu.refdata._base import all_symmetry_rotations
+    from gdm_tpu.refdata._base import (
+        all_symmetry_rotations,
+        all_symmetry_transforms,
+    )
 
     obj_name = refd.id2obj[cls_id]
     diameter = refd.diameters_mm_by_id[cls_id] / 1000.0
@@ -115,9 +119,15 @@ def _eval_object_metadata(cfg, refd, cls_id, data_root, want_vsd, log,
                         "skipping VSD for this object", obj_name,
                         eval_ply)
     sym = None
-    if str(cls_id) in models_info and obj_name in cfg.data.sym_objs:
-        sym = all_symmetry_rotations(models_info[str(cls_id)])
-    return obj_name, diameter, pts, vsd_mesh, sym
+    sym_tf = None
+    if str(cls_id) in models_info:
+        if obj_name in cfg.data.sym_objs:
+            sym = all_symmetry_rotations(models_info[str(cls_id)])
+        # MSSD/MSPD use the models_info symmetry set for EVERY object
+        # (identity-only when the model has none), translations -> metres
+        sym_tf = [(R, t / 1000.0) for R, t in
+                  all_symmetry_transforms(models_info[str(cls_id)])]
+    return obj_name, diameter, pts, vsd_mesh, sym, sym_tf
 
 
 def _gts_from_annos(ds):
@@ -310,7 +320,7 @@ def evaluate(args):
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
 
     obj_names, diameters, models_pts, sym_rots = [], {}, {}, {}
-    vsd_meshes = {}
+    vsd_meshes, sym_tfs = {}, {}
     try:
         models_info = refd.load_models_info(
             osp.join(args.data_root, "models"))
@@ -328,9 +338,10 @@ def evaluate(args):
     for cls_id in cls_ids:
         _, _, mesh_fps, graph, mesh_arr = _build_object_setup(
             cfg, refd, cls_id, args.data_root)
-        obj_name, diameter, pts, vsd_mesh, sym = _eval_object_metadata(
-            cfg, refd, cls_id, args.data_root, args.vsd, log,
-            models_info, fallback_pts=mesh_fps[:, :3])
+        obj_name, diameter, pts, vsd_mesh, sym, sym_tf = \
+            _eval_object_metadata(
+                cfg, refd, cls_id, args.data_root, args.vsd, log,
+                models_info, fallback_pts=mesh_fps[:, :3])
         obj_names.append(obj_name)
         diameters[obj_name] = diameter
         models_pts[obj_name] = pts
@@ -338,6 +349,8 @@ def evaluate(args):
             vsd_meshes[obj_name] = vsd_mesh
         if sym is not None:
             sym_rots[obj_name] = sym
+        if sym_tf is not None:
+            sym_tfs[obj_name] = sym_tf
 
         ds = PoseDataset(cfg, cls_id, "test",
                          diameter_m=diameters[obj_name],
@@ -351,7 +364,8 @@ def evaluate(args):
                 args.dataset, [refd.id2obj[c] for c in cls_ids],
                 diameters, models_pts, sym_objs=cfg.data.sym_objs,
                 sym_rots=sym_rots, output_dir=args.output_dir,
-                obj2id=refd.obj2id, vsd_meshes=vsd_meshes)
+                obj2id=refd.obj2id, vsd_meshes=vsd_meshes,
+                sym_transforms=sym_tfs, im_w=cfg.data.img_hw[1])
 
         model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
             cfg, diameters[obj_name], mesh_fps, mesh_arr)
@@ -482,15 +496,20 @@ def score(args):
         models_info = {}
 
     diameters, models_pts, sym_rots, vsd_meshes, gts = {}, {}, {}, {}, {}
+    sym_tfs = {}
     for cls_id in cls_ids:
-        obj_name, diameter, pts, vsd_mesh, sym = _eval_object_metadata(
-            cfg, refd, cls_id, args.data_root, args.vsd, log, models_info)
+        obj_name, diameter, pts, vsd_mesh, sym, sym_tf = \
+            _eval_object_metadata(
+                cfg, refd, cls_id, args.data_root, args.vsd, log,
+                models_info)
         diameters[obj_name] = diameter
         models_pts[obj_name] = pts
         if vsd_mesh is not None:
             vsd_meshes[obj_name] = vsd_mesh
         if sym is not None:
             sym_rots[obj_name] = sym
+        if sym_tf is not None:
+            sym_tfs[obj_name] = sym_tf
         ds = PoseDataset(cfg, cls_id, "test",
                          diameter_m=diameter, data_root=args.data_root)
         gts[obj_name] = _gts_from_annos(ds)
@@ -499,7 +518,8 @@ def score(args):
         args.dataset, list(gts), diameters, models_pts,
         sym_objs=cfg.data.sym_objs, sym_rots=sym_rots,
         output_dir=args.output_dir, obj2id=refd.obj2id,
-        vsd_meshes=vsd_meshes)
+        vsd_meshes=vsd_meshes, sym_transforms=sym_tfs,
+        im_w=cfg.data.img_hw[1])
 
     # BOP results may carry several hypotheses per (scene, image, object)
     # ranked by the score column; keep the best-scored one

@@ -143,7 +143,11 @@ def get_config(name: str, opts: Sequence[str] = ()) -> Config:
         elif isinstance(old, (int, float)) and old is not None:
             val = type(old)(raw)
         elif isinstance(old, (tuple, list)):
-            val = type(old)(raw.split(",")) if raw else type(old)()
+            # cast each element with the existing element type so e.g.
+            # model.randla_d_out=16,32 yields ints, not strings
+            el = type(old[0]) if len(old) else str
+            val = type(old)(el(x) for x in raw.split(",")) if raw \
+                else type(old)()
         else:
             val = raw
         cfg = dataclasses.replace(

@@ -29,6 +29,8 @@ from gdm_tpu.eval.metrics import (
     add_err,
     adi_err,
     get_closest_rot,
+    mspd_err,
+    mssd_err,
     proj_err,
     re_err,
     te_err,
@@ -41,7 +43,18 @@ METRIC_NAMES = [
     "re_2", "re_5", "re_10",
     "te_2", "te_5", "te_10",
     "proj_2", "proj_5", "proj_10",
+    # reference offline-eval single-threshold recalls
+    # (eval_calc_scores.py:16-18 correct_th mssd=0.2, mspd=10)
+    "mssd_0.2", "mspd_10",
 ]
+
+# BOP19 average-recall threshold grids (bop.felk.cvut.cz/challenges/
+# bop-challenge-2019; the reference computes the underlying errors at
+# pose_error.py:131-180 and thresholds them in eval_calc_scores.py with
+# mssd normalised by diameter and mspd by image width)
+BOP19_MSSD_THS = tuple(float(t) for t in np.arange(0.05, 0.51, 0.05))
+BOP19_MSPD_THS = tuple(float(t) for t in np.arange(5.0, 50.1, 5.0))
+BOP19_VSD_THS = tuple(float(t) for t in np.arange(0.05, 0.51, 0.05))
 
 
 class Evaluator:
@@ -60,20 +73,32 @@ class Evaluator:
 
     def __init__(self, dataset_name, obj_names, diameters, models_pts,
                  sym_objs=(), sym_rots=None, output_dir=None,
-                 obj2id=None, vsd_meshes=None):
+                 obj2id=None, vsd_meshes=None, sym_transforms=None,
+                 im_w=640):
         self.dataset_name = dataset_name
         self.obj_names = list(obj_names)
         self.diameters = diameters
         self.models_pts = models_pts
         self.sym_objs = set(sym_objs)
-        self.sym_rots = sym_rots or {}
+        # dict args keep the CALLER's dict object (not a copy, and not
+        # replaced when empty): cli.evaluate() creates the Evaluator while
+        # iterating objects and fills these dicts for later objects —
+        # `sym_rots or {}` would silently detach them whenever the first
+        # object happens to have no entry yet
+        self.sym_rots = sym_rots if sym_rots is not None else {}
         self.output_dir = output_dir
-        self.obj2id = obj2id or {}
+        self.obj2id = obj2id if obj2id is not None else {}
         # {obj_name: (verts_m [V,3], faces [F,3])} enables the BOP VSD
         # metric (device-rendered, gdm_tpu/eval/vsd.py); gt entries must
         # then carry the test depth ('depth' array or
         # 'depth_file'+'depth_factor')
-        self.vsd_meshes = vsd_meshes or {}
+        self.vsd_meshes = vsd_meshes if vsd_meshes is not None else {}
+        # {obj_name: [(R [3,3], t_m [3]), ...]} full BOP symmetry
+        # transforms (misc.get_symmetry_transformations, translations in
+        # METRES) for MSSD/MSPD; objects without an entry use identity
+        self.sym_transforms = (sym_transforms
+                               if sym_transforms is not None else {})
+        self.im_w = im_w   # MSPD pixel thresholds are defined at 640 px
         self.reset()
 
     def reset(self):
@@ -108,6 +133,7 @@ class Evaluator:
         recalls = OrderedDict()
         errors = OrderedDict()
         aucs = OrderedDict()
+        ars = OrderedDict()
         csv_lines = ["scene_id,im_id,obj_id,score,R,t,time"]
 
         for obj_name, obj_gts in gts.items():
@@ -115,19 +141,33 @@ class Evaluator:
                 continue
             cur_preds = self._predictions[obj_name]
             rec = {m: [] for m in METRIC_NAMES}
-            err = {e: [] for e in ("ad", "re", "te", "proj")}
+            err = {e: [] for e in ("ad", "re", "te", "proj",
+                                   "mssd", "mspd")}
+            syms = self.sym_transforms.get(obj_name)
             diameter = self.diameters[obj_name]
             pts = self.models_pts[obj_name]
             is_sym = obj_name in self.sym_objs
             do_vsd = obj_name in self.vsd_meshes
             if do_vsd:
+                from gdm_tpu.eval.vsd import BOP19_TAUS
+
                 rec["vsd"] = []
                 err["vsd"] = []
 
             for file_name, gt in obj_gts.items():
                 if file_name not in cur_preds:
+                    # a GT frame with no prediction counts as a failure in
+                    # EVERY statistic: recalls get 0, error curves get a
+                    # sentinel so voc_auc averages over all GT frames like
+                    # the reference (it pushes an entry per frame via the
+                    # sentinel pose, evaluator.py:70-97).  Table re/te
+                    # means skip the non-finite sentinels.
                     for m in rec:
                         rec[m].append(0.0)
+                    for e in err:
+                        err[e].append(
+                            np.full(len(BOP19_TAUS), np.inf)
+                            if e == "vsd" else np.inf)
                     continue
                 pred = cur_preds[file_name]
                 R_pred, t_pred = pred["R"], pred["t"]
@@ -165,6 +205,17 @@ class Evaluator:
                 err["te"].append(t_error)
                 err["proj"].append(p_error)
 
+                mssd_e = mssd_err(R_pred, t_pred, R_gt, t_gt.ravel(),
+                                  pts, syms)
+                mspd_e = mspd_err(R_pred, t_pred, R_gt, t_gt.ravel(),
+                                  pts, K, syms)
+                err["mssd"].append(mssd_e)
+                err["mspd"].append(mspd_e)
+                im_w = float(gt.get("im_w", self.im_w))
+                rec["mssd_0.2"].append(float(mssd_e / diameter < 0.2))
+                rec["mspd_10"].append(
+                    float(mspd_e * 640.0 / im_w < 10.0))
+
                 rec["ad_2"].append(float(ad_error < 0.02 * diameter))
                 rec["ad_5"].append(float(ad_error < 0.05 * diameter))
                 rec["ad_10"].append(float(ad_error < 0.10 * diameter))
@@ -191,15 +242,19 @@ class Evaluator:
                         verts, faces_ = self.vsd_meshes[obj_name]
                         ve = vsd_err(R_pred, t_pred, R_gt, t_gt, depth,
                                      K, verts, faces_, diameter)
-                        err["vsd"].append(float(np.mean(ve)))
+                        # full per-tau error vector (the reference's
+                        # offline eval stores errors per tau too)
+                        err["vsd"].append(np.asarray(ve, np.float64))
                         rec["vsd"].append(
                             float(np.mean(ve < BOP19_CORRECT_TH[0])))
 
             recalls[obj_name] = rec
             errors[obj_name] = err
             aucs[obj_name] = voc_auc(err["ad"], max_dis=0.1)
+            ars[obj_name] = self._bop19_ar(err, diameter,
+                                           do_vsd=do_vsd)
 
-        table = self._format_table(recalls, errors, aucs)
+        table = self._format_table(recalls, errors, aucs, ars)
         if self.output_dir:
             os.makedirs(self.output_dir, exist_ok=True)
             with open(osp.join(self.output_dir,
@@ -215,7 +270,34 @@ class Evaluator:
                         f"_{self.dataset_name}_{nm}.pkl"), "wb") as f:
                     pickle.dump(obj, f)
         return {"recalls": recalls, "errors": errors, "auc": aucs,
-                "table": table}
+                "bop19_ar": ars, "table": table}
+
+    def _bop19_ar(self, err, diameter, do_vsd):
+        """BOP19 average recalls for one object.
+
+        AR_MSSD over thresholds 0.05..0.5 x diameter, AR_MSPD over
+        5..50 px at 640-width normalisation, AR_VSD over thresholds
+        0.05..0.5 x the tau grid, and their mean (the BOP19 AR) when VSD
+        is available.  Missing-frame sentinels (inf) count as misses at
+        every threshold.
+        """
+        out = {}
+        mssd = np.asarray(err["mssd"], np.float64) / diameter
+        out["ar_mssd"] = float(np.mean(
+            [(mssd < th).mean() for th in BOP19_MSSD_THS])) \
+            if mssd.size else 0.0
+        mspd = np.asarray(err["mspd"], np.float64) * 640.0 / self.im_w
+        out["ar_mspd"] = float(np.mean(
+            [(mspd < th).mean() for th in BOP19_MSPD_THS])) \
+            if mspd.size else 0.0
+        if do_vsd and len(err.get("vsd", ())):
+            vsd = np.stack([np.asarray(v, np.float64)
+                            for v in err["vsd"]])       # [n, n_taus]
+            out["ar_vsd"] = float(np.mean(
+                [(vsd < th).mean() for th in BOP19_VSD_THS]))
+            out["bop19_ar"] = float(np.mean(
+                [out["ar_vsd"], out["ar_mssd"], out["ar_mspd"]]))
+        return out
 
     @staticmethod
     def _gt_depth(gt):
@@ -231,7 +313,7 @@ class Evaluator:
         return None
 
     @staticmethod
-    def _format_table(recalls, errors, aucs):
+    def _format_table(recalls, errors, aucs, ars=None):
         from tabulate import tabulate
 
         obj_names = sorted(recalls.keys())
@@ -247,11 +329,26 @@ class Evaluator:
             rows.append([m] + [f"{v:.2f}" for v in vals]
                         + [f"{np.mean(vals):.2f}" if vals else "0.00"])
         for e in ("re", "te"):
-            vals = [np.mean(errors[o][e]) if errors[o][e] else np.nan
-                    for o in obj_names]
+            # mean over predicted frames only (missing-frame sentinels
+            # are inf; their failure is already counted in the recalls)
+            vals = []
+            for o in obj_names:
+                a = np.asarray(errors[o][e], np.float64)
+                a = a[np.isfinite(a)]
+                vals.append(a.mean() if a.size else np.nan)
             rows.append([e] + [f"{v:.2f}" for v in vals]
                         + [f"{np.nanmean(vals):.2f}"])
         auc_vals = [aucs[o] for o in obj_names]
         rows.append(["auc_ad"] + [f"{v:.2f}" for v in auc_vals]
                     + [f"{np.mean(auc_vals):.2f}" if auc_vals else "0.00"])
+        if ars:
+            for key in ("ar_vsd", "ar_mssd", "ar_mspd", "bop19_ar"):
+                if not any(key in ars.get(o, {}) for o in obj_names):
+                    continue
+                vals = [100 * ars[o][key] for o in obj_names
+                        if key in ars.get(o, {})]
+                cells = [f"{100 * ars[o][key]:.2f}"
+                         if key in ars.get(o, {}) else "-"
+                         for o in obj_names]
+                rows.append([key] + cells + [f"{np.mean(vals):.2f}"])
         return tabulate(rows, tablefmt="plain")

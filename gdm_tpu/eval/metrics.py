@@ -57,21 +57,26 @@ def proj_err(R_est, t_est, R_gt, t_gt, pts, K) -> float:
         axis=1).mean())
 
 
-def _sym_poses(R_gt, t_gt, syms):
-    """Yield (R, t) of every symmetric equivalent of a GT pose.
+def _sym_pose_stack(R_gt, t_gt, syms):
+    """Stacked ([S,3,3], [S,3]) symmetric equivalents of a GT pose.
 
     syms: None, or a sequence of (S_R [3,3], S_t [3]) pairs / dicts with
-    'R'/'t' (BOP models_info convention, pose_error.py:146-152).
+    'R'/'t' (BOP models_info convention, pose_error.py:146-152).  The
+    reference's per-sym Python loop is replaced by one stacked einsum per
+    metric call — with ~315 discretised continuous symmetries the loop
+    would dominate host eval time.
     """
     if not syms:
-        yield R_gt, np.ravel(t_gt)
-        return
+        return np.asarray(R_gt)[None], np.ravel(t_gt)[None]
+    Rs, ts = [], []
     for sym in syms:
         if isinstance(sym, dict):
             S_R, S_t = sym["R"], np.ravel(sym.get("t", np.zeros(3)))
         else:
             S_R, S_t = sym[0], np.ravel(sym[1])
-        yield R_gt @ S_R, R_gt @ S_t + np.ravel(t_gt)
+        Rs.append(R_gt @ S_R)
+        ts.append(R_gt @ S_t + np.ravel(t_gt))
+    return np.stack(Rs), np.stack(ts)
 
 
 def mssd_err(R_est, t_est, R_gt, t_gt, pts, syms=None) -> float:
@@ -79,17 +84,21 @@ def mssd_err(R_est, t_est, R_gt, t_gt, pts, syms=None) -> float:
 
     syms should include the identity transform (BOP convention)."""
     pe = transform_pts(pts, R_est, np.ravel(t_est))
-    return float(min(
-        np.linalg.norm(pe - transform_pts(pts, R, t), axis=1).max()
-        for R, t in _sym_poses(R_gt, t_gt, syms)))
+    Rs, ts = _sym_pose_stack(R_gt, t_gt, syms)
+    pg = np.einsum("sij,nj->sni", Rs, pts) + ts[:, None, :]
+    d = np.linalg.norm(pe[None] - pg, axis=2)          # [S, n]
+    return float(d.max(axis=1).min())
 
 
 def mspd_err(R_est, t_est, R_gt, t_gt, pts, K, syms=None) -> float:
     """Maximum Symmetry-aware Projection Distance (pose_error.py:156-180)."""
     pr = _project(pts, R_est, np.ravel(t_est), K)
-    return float(min(
-        np.linalg.norm(pr - _project(pts, R, t, K), axis=1).max()
-        for R, t in _sym_poses(R_gt, t_gt, syms)))
+    Rs, ts = _sym_pose_stack(R_gt, t_gt, syms)
+    pc = np.einsum("sij,nj->sni", Rs, pts) + ts[:, None, :]
+    pc = pc @ np.asarray(K).T
+    pg = pc[..., :2] / pc[..., 2:3]                    # [S, n, 2]
+    d = np.linalg.norm(pr[None] - pg, axis=2)
+    return float(d.max(axis=1).min())
 
 
 def get_closest_rot(R_est, R_gt, sym_rots):

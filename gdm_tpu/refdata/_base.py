@@ -42,6 +42,44 @@ def symmetry_transform(model_info: dict):
     return None
 
 
+def all_symmetry_transforms(model_info: dict,
+                            max_sym_disc_step: float = 0.01):
+    """Full (R, t) symmetry set for BOP MSSD/MSPD
+    (misc.get_symmetry_transformations parity, misc.py:206-255): discrete
+    symmetries verbatim (identity first), continuous ones discretised to
+    ceil(pi / max_sym_disc_step) steps, and the two sets composed.
+
+    Returns a list of (R [3,3], t [3]) with t in the model's units (mm for
+    BOP models_info) — divide by 1000 for metre-space eval.
+    """
+    import numpy as np
+
+    disc = [(np.eye(3), np.zeros(3))]
+    for sym in model_info.get("symmetries_discrete", []):
+        m = np.array(sym, dtype=np.float64).reshape(4, 4)
+        disc.append((m[:3, :3], m[:3, 3]))
+
+    cont = []
+    for sym in model_info.get("symmetries_continuous", []):
+        from scipy.spatial.transform import Rotation
+
+        axis = np.array(sym["axis"], dtype=np.float64)
+        offset = np.array(sym.get("offset", [0, 0, 0]), dtype=np.float64)
+        n_steps = int(np.ceil(np.pi / max_sym_disc_step))
+        step = 2.0 * np.pi / n_steps
+        for i in range(1, n_steps):
+            R = Rotation.from_rotvec(axis * (i * step)).as_matrix()
+            cont.append((R, offset - R @ offset))
+
+    if not cont:
+        return disc
+    out = []
+    for Rd, td in disc:
+        for Rc, tc in cont:
+            out.append((Rc @ Rd, Rc @ td + tc))
+    return out
+
+
 def all_symmetry_rotations(model_info: dict, max_sym_disc_step: float = 0.01):
     """All symmetry rotations for eval (misc.get_symmetry_transformations
     parity: discrete ones verbatim; continuous discretised so that the

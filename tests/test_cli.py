@@ -24,6 +24,11 @@ class TestConfigOverrides:
         assert c.data.fill_depth is True
         # presets are immutable
         assert get_config("lmo").model.gather_bwd_dtype == "float32"
+        # tuple overrides cast elements with the existing element type
+        c2 = get_config("lmo", ["model.randla_d_out=16,32,64,128",
+                                "data.sym_objs=ape,can"])
+        assert c2.model.randla_d_out == (16, 32, 64, 128)
+        assert c2.data.sym_objs == ("ape", "can")
         with pytest.raises(AttributeError):
             get_config("lmo", ["model.no_such_field=1"])
         with pytest.raises(ValueError):
@@ -76,8 +81,14 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     assert len(results["errors"]["ape"]["ad"]) == 4
     # --vsd: device-rendered VSD computed per frame from models_eval ply
     assert len(results["errors"]["ape"]["vsd"]) == 4
-    assert all(0.0 <= e <= 1.0 for e in results["errors"]["ape"]["vsd"])
+    # per-tau error vectors, all in [0, 1]
+    assert all(np.all((e >= 0.0) & (e <= 1.0))
+               for e in results["errors"]["ape"]["vsd"])
     assert "vsd" in results["table"]
+    # BOP19 average-recall rows (vsd present -> combined AR too)
+    ar = results["bop19_ar"]["ape"]
+    assert set(ar) == {"ar_vsd", "ar_mssd", "ar_mspd", "bop19_ar"}
+    assert "bop19_ar" in results["table"]
     # artifacts written
     assert osp.exists(osp.join(out_dir, "_lmo_tab.txt"))
     assert osp.exists(osp.join(out_dir, "gt_lmo-test.csv"))
@@ -94,8 +105,10 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
             results["recalls"]["ape"][m], m
     assert scored["errors"]["ape"]["ad"] == pytest.approx(
         results["errors"]["ape"]["ad"], abs=1e-9)
-    assert scored["errors"]["ape"]["vsd"] == pytest.approx(
-        results["errors"]["ape"]["vsd"], abs=1e-6)
+    assert np.asarray(scored["errors"]["ape"]["vsd"]) == pytest.approx(
+        np.asarray(results["errors"]["ape"]["vsd"]), abs=1e-6)
+    assert scored["bop19_ar"]["ape"]["bop19_ar"] == pytest.approx(
+        results["bop19_ar"]["ape"]["bop19_ar"], abs=1e-9)
 
     # multi-hypothesis CSVs: a junk pose with a LOWER score must lose to
     # the original row (BOP results may carry several ranked hypotheses)

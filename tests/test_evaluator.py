@@ -1,0 +1,123 @@
+"""Evaluator bookkeeping tests (reference evaluator.py:140-486 semantics).
+
+Covers the round-2 fixes: AUC counted over ALL GT frames (a dropped frame
+is a failure, not a silent denominator shrink), BOP19 MSSD/MSPD recalls +
+average-recall rows, and the dict-aliasing contract cli.evaluate() relies
+on when it fills sym/vsd metadata after constructing the Evaluator.
+"""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from gdm_tpu.eval.evaluator import Evaluator
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+RNG = np.random.RandomState(3)
+PTS = RNG.randn(100, 3) * 0.04
+DIAM = 0.2
+
+
+def _make(n_frames=4, obj="ape", **kw):
+    ev = Evaluator("lmo", [obj], {obj: DIAM}, {obj: PTS}, **kw)
+    gts = {obj: {f"{1:06d}/{i:06d}": {"R": np.eye(3),
+                                      "t": np.array([0, 0, 1.0]),
+                                      "K": K}
+                 for i in range(n_frames)}}
+    return ev, gts
+
+
+def rot_z(deg):
+    th = np.deg2rad(deg)
+    return np.array([[np.cos(th), -np.sin(th), 0],
+                     [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+
+
+class TestMissingFrames:
+    def test_auc_counts_missing_frames_as_failures(self):
+        obj = "ape"
+        ev_full, gts = _make(4)
+        for fn in gts[obj]:
+            ev_full.add_prediction(obj, fn, np.eye(3), [0, 0, 1.0])
+        auc_full = ev_full.evaluate(gts)["auc"][obj]
+
+        ev_drop, gts = _make(4)
+        for i, fn in enumerate(gts[obj]):
+            if i < 2:  # drop half the frames
+                ev_drop.add_prediction(obj, fn, np.eye(3), [0, 0, 1.0])
+        res = ev_drop.evaluate(gts)
+        assert auc_full == pytest.approx(100.0)
+        # 2/4 perfect frames -> AUC 50, not 100
+        assert res["auc"][obj] == pytest.approx(50.0)
+        # recalls also count the missing frames as misses
+        assert np.mean(res["recalls"][obj]["ad_10"]) == pytest.approx(0.5)
+
+    def test_table_re_te_means_stay_finite(self):
+        obj = "ape"
+        ev, gts = _make(3)
+        first = next(iter(gts[obj]))
+        ev.add_prediction(obj, first, rot_z(5), [0, 0, 1.01])
+        res = ev.evaluate(gts)
+        # err lists carry inf sentinels for the 2 missing frames ...
+        assert np.isinf(res["errors"][obj]["ad"]).sum() == 2
+        # ... but the printed re/te means are over predicted frames only
+        assert "inf" not in res["table"]
+        assert "nan" not in res["table"]
+
+
+class TestBop19:
+    def test_perfect_predictions_full_ar(self):
+        obj = "ape"
+        ev, gts = _make(4)
+        for fn in gts[obj]:
+            ev.add_prediction(obj, fn, np.eye(3), [0, 0, 1.0])
+        res = ev.evaluate(gts)
+        ar = res["bop19_ar"][obj]
+        assert ar["ar_mssd"] == pytest.approx(1.0)
+        assert ar["ar_mspd"] == pytest.approx(1.0)
+        assert "bop19_ar" not in ar  # no VSD mesh -> no combined AR
+        assert np.mean(res["recalls"][obj]["mssd_0.2"]) == 1.0
+        assert np.mean(res["recalls"][obj]["mspd_10"]) == 1.0
+        assert "ar_mssd" in res["table"]
+
+    def test_symmetry_rescues_mssd(self):
+        obj = "eggbox"
+        syms = [(np.eye(3), np.zeros(3)), (rot_z(180), np.zeros(3))]
+        ev, gts = _make(2, obj=obj, sym_transforms={obj: syms})
+        for fn in gts[obj]:
+            ev.add_prediction(obj, fn, rot_z(180), [0, 0, 1.0])
+        res = ev.evaluate(gts)
+        assert res["bop19_ar"][obj]["ar_mssd"] == pytest.approx(1.0)
+
+        ev2, gts = _make(2, obj=obj)  # no syms -> 180 deg off is wrong
+        for fn in gts[obj]:
+            ev2.add_prediction(obj, fn, rot_z(180), [0, 0, 1.0])
+        assert ev2.evaluate(gts)["bop19_ar"][obj]["ar_mssd"] < 0.5
+
+    def test_mspd_im_width_normalisation(self):
+        # same error, wider image -> scaled down by 640/im_w
+        obj = "ape"
+        ev, gts = _make(2, im_w=1280)
+        for fn in gts[obj]:
+            ev.add_prediction(obj, fn, rot_z(3), [0, 0, 1.0])
+        r_wide = ev.evaluate(gts)["bop19_ar"][obj]["ar_mspd"]
+        ev2, gts = _make(2, im_w=640)
+        for fn in gts[obj]:
+            ev2.add_prediction(obj, fn, rot_z(3), [0, 0, 1.0])
+        r_640 = ev2.evaluate(gts)["bop19_ar"][obj]["ar_mspd"]
+        assert r_wide >= r_640
+
+
+class TestAliasing:
+    def test_metadata_dicts_alias_caller(self):
+        """cli.evaluate() fills sym/vsd dicts AFTER constructing the
+        Evaluator (first object usually has no syms) — the constructor
+        must keep the caller's dict objects even when they are empty."""
+        sym_rots, sym_tfs, vsd = {}, {}, {}
+        ev = Evaluator("lmo", ["ape"], {"ape": DIAM}, {"ape": PTS},
+                       sym_rots=sym_rots, sym_transforms=sym_tfs,
+                       vsd_meshes=vsd)
+        assert ev.sym_rots is sym_rots
+        assert ev.sym_transforms is sym_tfs
+        assert ev.vsd_meshes is vsd

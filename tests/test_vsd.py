@@ -220,9 +220,11 @@ class TestVSD:
               "depth": self.depth_test}
         res = ev.evaluate({"obj": {"1/0": gt, "1/1": gt}})
         assert res["recalls"]["obj"]["vsd"] == [1.0, 0.0]
-        assert res["errors"]["obj"]["vsd"][0] < 0.02
-        assert res["errors"]["obj"]["vsd"][1] > 0.95
+        # errors are per-tau vectors
+        assert np.all(res["errors"]["obj"]["vsd"][0] < 0.02)
+        assert np.mean(res["errors"]["obj"]["vsd"][1]) > 0.95
         assert "vsd" in res["table"]
+        assert res["bop19_ar"]["obj"]["ar_vsd"] == pytest.approx(0.5)
 
     def test_evaluator_depth_file_loading(self, tmp_path):
         from PIL import Image
