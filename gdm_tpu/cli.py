@@ -386,6 +386,12 @@ def evaluate(args):
         # program schedules ~3x slower on TPU) and pipeline in the queue
         mesh_feats = None
 
+        # ICP correspondence gate follows the dataset threshold
+        # convention (nn_dist_th x diameter, linemod_pbr.py:38 /
+        # ycbv_pbr.py:49); traced scalar so the shared compile survives
+        icp_reject = (args.icp_reject if args.icp_reject is not None
+                      else cfg.data.nn_dist_th * diameters[obj_name])
+
         if infer is None:
             @jax.jit
             def encode_mesh(state, mesh_input):
@@ -395,7 +401,8 @@ def evaluate(args):
                     mesh_input, train=False, method="encode_mesh")
 
             @jax.jit
-            def infer(state, fin, mesh_input, mesh_feats, mesh_xyz):
+            def infer(state, fin, mesh_input, mesh_feats, mesh_xyz,
+                      icp_reject):
                 if needs_pyramid:
                     inputs = assemble_inputs(
                         fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
@@ -410,7 +417,8 @@ def evaluate(args):
                     mesh_features=mesh_feats)
                 poses = fit_poses_from_outputs(
                     fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
-                    det=fin.get("det"), refine=args.refine)
+                    det=fin.get("det"), refine=args.refine,
+                    icp_reject_dist=icp_reject)
                 return poses
 
         n_done = 0
@@ -448,7 +456,8 @@ def evaluate(args):
                 mesh_feats = encode_mesh(state, mesh_input)
             t0 = time.perf_counter()
             poses = jax.device_get(
-                infer(state, fin, mesh_input, mesh_feats, mesh_xyz))
+                infer(state, fin, mesh_input, mesh_feats, mesh_xyz,
+                      np.float32(icp_reject)))
             dt = (time.perf_counter() - t0) / n_real
             for i in range(n_real):
                 evaluator.add_prediction(
@@ -592,6 +601,10 @@ def build_parser():
                    help="single object (default: all in config)")
     e.add_argument("--refine", choices=["ransac", "icp", "meanshift"],
                    default=None)
+    e.add_argument("--icp-reject", type=float, default=None,
+                   help="ICP correspondence gate in metres (default: "
+                        "nn_dist_th x object diameter, the dataset "
+                        "threshold convention)")
     e.add_argument("--output-dir", default="output")
     e.add_argument("--torch-checkpoint", default=None,
                    help="directory of reference .pth.tar checkpoints to "

@@ -84,6 +84,7 @@ def fit_poses_from_outputs(
     refine: str | None = None,
     icp_iters: int = 10,
     use_pallas: bool = False,
+    icp_reject_dist: jax.Array | float = 0.01,
 ):
     """Batched pose fit from GeoMatch outputs.
 
@@ -93,6 +94,11 @@ def fit_poses_from_outputs(
       refine: None | 'ransac' | 'icp' | 'meanshift'.
       use_pallas: correspondence argmax via the streaming Pallas kernel
         (one launch for the whole batch; rows fold into the kernel grid).
+      icp_reject_dist: ICP correspondence gate in metres.  A traced
+        scalar, so one compiled eval program serves every object while
+        the gate follows the dataset's threshold convention (LM fixed
+        1 cm, YCB-V nn_dist_th x diameter — linemod_pbr.py:38,
+        ycbv_pbr.py:49).
 
     Returns:
       poses [B, 3, 4].
@@ -122,7 +128,8 @@ def fit_poses_from_outputs(
             rt2 = ransac_kabsch(A, c, w, key)
             rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
         elif refine == "icp":
-            rt2 = icp_refine(mesh_xyz, c, w, rt, iters=icp_iters)
+            rt2 = icp_refine(mesh_xyz, c, w, rt, iters=icp_iters,
+                             reject_dist=icp_reject_dist)
             rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
         elif refine == "meanshift":
             # cluster per-point translation votes t_i = p_i - R m_idx(i)
@@ -150,14 +157,15 @@ def icp_refine(
     scene_w: jax.Array,
     init_rt: jax.Array,
     iters: int = 10,
-    reject_dist: float = 0.01,
+    reject_dist: jax.Array | float = 0.01,
 ):
     """Fixed-iteration point-to-point ICP (utils/icp.py:126-190 parity).
 
     Model points are moved by the current pose, matched to their nearest
-    (weighted-valid) scene point, gated by `reject_dist`, and refit.  Runs
-    as a lax.scan — no convergence branch (the reference's tolerance break
-    rarely fires before 10 iterations at these scales).
+    (weighted-valid) scene point, gated by `reject_dist` (a traced
+    scalar is fine — pass the dataset's diameter-scaled threshold), and
+    refit.  Runs as a lax.scan — no convergence branch (the reference's
+    tolerance break rarely fires before 10 iterations at these scales).
     """
     big = 1e6
 

@@ -39,8 +39,23 @@ _FACE_BUCKET_MIN = 1024
 _MESH_CACHE: dict = {}
 
 
+def _ray_angle_factor(K: np.ndarray, im_hw, margin: float) -> float:
+    """1 + max(|x/z|, |y/z|) over the clipped render-window bounds.
+
+    The raster window is clipped to the frame extended by `margin`
+    (vsd_err), so the largest ray angle any rendered pixel can have is
+    at those extended corners — computed from the actual intrinsics
+    instead of the former hardcoded 0.75 frame-corner estimate, which
+    silently under-subdivided wide-FOV cameras.
+    """
+    imh, imw = float(im_hw[0]), float(im_hw[1])
+    rx = max(abs(-margin - K[0, 2]), abs(imw + margin - K[0, 2])) / K[0, 0]
+    ry = max(abs(-margin - K[1, 2]), abs(imh + margin - K[1, 2])) / K[1, 1]
+    return 1.0 + float(max(rx, ry))
+
+
 def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
-                   z_min: float, tile: int):
+                   z_min: float, tile: int, ray_factor: float):
     """Subdivide (cached) so every triangle fits the raster tile at z_min."""
     import zlib
 
@@ -51,16 +66,20 @@ def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
     # handful of cache entries per object
     zq = max(z_min, 0.126)
     zb = float(max(0.125, 1.25 ** np.floor(np.log(zq) / np.log(1.25))))
+    # bucket the ray factor too (same 1.25 steps) so one subdivision
+    # serves intrinsics/window variations without fragmenting the cache
+    rf = float(1.25 ** np.ceil(np.log(max(ray_factor, 1.0))
+                               / np.log(1.25)))
     key = (zlib.crc32(verts.tobytes()), zlib.crc32(faces.tobytes()),
-           verts.shape[0], faces.shape[0], tile, zb)
+           verts.shape[0], faces.shape[0], tile, zb, rf)
     if key not in _MESH_CACHE:
         from gdm_tpu.ops.render_depth import subdivide_max_edge
 
         # screen extent of a 3-D edge e at depth >= zb is bounded by
-        # fx * e / zb * (1 + r) with r = max |x/z| over in-frame pixels
-        # (~0.75 covers the frame corner of typical BOP intrinsics); the
-        # raster tile covers bboxes up to tile-2 pixels (centre sampling)
-        max_edge = (tile - 2) * zb / (fx * 1.75)
+        # fx * e / zb * rf with rf = 1 + max(|x/z|,|y/z|) over the
+        # clipped window (see _ray_angle_factor); the raster tile covers
+        # bboxes up to tile-2 pixels (centre sampling)
+        max_edge = (tile - 2) * zb / (fx * rf)
         v, f = subdivide_max_edge(verts, faces, max_edge)
         nf = len(f)
         fb = _FACE_BUCKET_MIN
@@ -151,7 +170,14 @@ def _bucket(v, buckets):
     for b in buckets:
         if v <= b:
             return b
-    return buckets[-1]
+    # beyond the precomputed buckets (ITODD 1280x960, HB 1920x1440, or a
+    # union bbox wider than 1024): grow by powers of two so the window
+    # always covers the clipped bbox instead of silently cropping the
+    # render (which would drop pixels from the visibility masks)
+    b = buckets[-1]
+    while b < v:
+        b *= 2
+    return b
 
 
 def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
@@ -213,7 +239,8 @@ def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
     z_min = float(min((verts @ R_est.T + t_est)[:, 2].min(),
                       (verts @ R_gt.T + t_gt)[:, 2].min()))
     verts_s, faces_p = _prepared_mesh(
-        verts, np.asarray(faces, np.int32), Knp, z_min, tile)
+        verts, np.asarray(faces, np.int32), Knp, z_min, tile,
+        _ray_angle_factor(Knp, (imh, imw), m))
 
     errs = _vsd_core(
         verts_s, faces_p,

@@ -251,3 +251,25 @@ class TestVSD:
         assert vsd_recall(errs) == pytest.approx(0.5)
         assert vsd_recall(errs, correct_ths=(0.95,)) == pytest.approx(1.0)
         assert vsd_recall([]) == 0.0
+
+
+class TestWindowAndSubdivisionBounds:
+    def test_bucket_grows_past_largest(self):
+        # ITODD/HB frames need windows over 1024 px; the bucket list must
+        # grow instead of silently cropping the render
+        from gdm_tpu.eval.vsd import _WINDOW_BUCKETS, _bucket
+
+        assert _bucket(200, _WINDOW_BUCKETS) == 256
+        assert _bucket(1025, _WINDOW_BUCKETS) == 2048
+        assert _bucket(3000, _WINDOW_BUCKETS) == 4096
+
+    def test_ray_angle_factor_from_intrinsics(self):
+        from gdm_tpu.eval.vsd import _ray_angle_factor
+
+        Kn = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        f = _ray_angle_factor(Kn, (480, 640), margin=18.0)
+        assert f == pytest.approx(1.0 + (320 + 18) / 500.0)
+        # wide-FOV: shorter focal -> larger factor (the old hardcoded
+        # 1.75 would have under-subdivided here)
+        Kw = np.array([[250.0, 0, 320], [0, 250.0, 240], [0, 0, 1]])
+        assert _ray_angle_factor(Kw, (480, 640), 18.0) > 2.0
