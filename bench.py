@@ -6,19 +6,38 @@ Measures the full YCB-V-shaped inference path on the default backend
 production shapes (256x256 crop, 4096 scene points, 4096-vertex mesh,
 eval config ycbv_cfg.py).
 
-vs_baseline: ratio against the same pipeline executed on one CPU device
-(the BASELINE.md north star is >=10x the CPU-reference frames/sec/chip;
-the reference itself cannot run here — torch_geometric CUDA deps — so the
-denominator is this framework's own CPU execution, measured fresh each
-run and reported honestly in `baseline_fps`).
+vs_baseline: ratio against the ACTUAL reference torch model executed on
+CPU (`reference_torch_cpu_fps`): the reference GeoMatch (train_lm.py
+eval path) with its compiled extensions stubbed and the SplineCNN mesh
+branch replaced by precomputed mesh features — the same mesh-feature
+caching our pipeline uses, and the reference's CPU KNN-pyramid
+dataloader cost is excluded from its timing, so the comparison favours
+the reference.  If /root/reference is absent the denominator falls back
+to this framework's own CPU execution (reported as baseline_kind).
+
+Timing protocol: every timed loop ends with a small jax.device_get of
+the final output INSIDE the timed region — through the axon tunnel
+block_until_ready alone has returned before execution finished
+(CLAUDE.md), while a data fetch cannot.  TPU programs execute in order,
+so fetching one scalar of the last enqueued result proves the whole
+queue ran without serialising the pipeline.
+
+Also measures the b=24 training step (samples/sec, f32 and bf16) so
+training throughput is driver-visible, not prose-only.  Set
+GDM_BENCH_TRAIN=0 to skip (two extra compiles).
 
 Prints exactly one JSON line.
 """
 
 import json
+import os
+import os.path as osp
+import sys
 import time
 
 import numpy as np
+
+REPO = osp.dirname(osp.abspath(__file__))
 
 
 def build_workload(im=256, n_sample=4096, n_mesh=4096, batch=8, seed=0):
@@ -33,7 +52,7 @@ def build_workload(im=256, n_sample=4096, n_mesh=4096, batch=8, seed=0):
     graph = build_mesh_graph(mesh_fps, n_mesh)
     data, _ = make_batch(mesh_fps, batch, K, im_size=im,
                          n_sample=n_sample, seed=seed)
-    return graph, MeshArrays.from_graph(graph), data
+    return graph, MeshArrays.from_graph(graph), data, mesh_fps
 
 
 def make_pipeline(model, variables, mesh_xyz):
@@ -86,9 +105,173 @@ def run_on(device, batch_np, mesh, model, variables, mesh_xyz,
         t0 = time.perf_counter()
         for _ in range(iters):
             out = pipe(batch, mesh_dev)
-        jax.block_until_ready(out)
+        # forces execution of the whole in-order queue (see module
+        # docstring) — one scalar, so the transfer cost is negligible
+        float(jax.device_get(out[0, 0, 0]))
         dt = (time.perf_counter() - t0) / iters
     return batch_np["rgb"].shape[0] / dt
+
+
+def _kabsch_np(A, B):
+    """Reference best_fit_transform (pvn3d_eval_utils_kpls.py:43-76):
+    plain-numpy Kabsch, used only to time the reference CPU path."""
+    ca, cb = A.mean(0), B.mean(0)
+    H = (A - ca).T @ (B - cb)
+    U, _, Vt = np.linalg.svd(H)
+    R = Vt.T @ U.T
+    if np.linalg.det(R) < 0:
+        Vt[2] *= -1
+        R = Vt.T @ U.T
+    return R, cb - R @ ca
+
+
+def measure_reference_torch_cpu(d1, inp, n_mesh, iters=3):
+    """fps of the ACTUAL reference torch model on CPU, or None.
+
+    Runs the reference GeoMatch (models/geoMatch.py:159-200) in eval
+    mode at b=1 production shapes: FFB6D dual-branch forward + heads +
+    the cal_frame_poses pose path (evaluator.py:60-102: seg argmax,
+    feature normalise, [n,128]x[128,M] similarity, per-point max,
+    numpy Kabsch).  The SplineCNN mesh branch is replaced by a buffer of
+    precomputed mesh features (its torch_geometric kernels are absent
+    here), matching the mesh-feature caching of our pipeline.  The
+    KNN-index pyramid is precomputed OUTSIDE the timed loop — the
+    reference pays it on CPU dataloader workers; excluding it favours
+    the reference.
+    """
+    if not osp.isdir("/root/reference"):
+        return None
+    sys.path.insert(0, osp.join(REPO, "tests"))
+    try:
+        import torch
+
+        from reference_stubs import reference_imports
+
+        def t(x, dt=torch.float32):
+            return torch.from_numpy(np.ascontiguousarray(x)).to(dt)
+
+        def idx3(a):
+            a = np.asarray(a)
+            return a[..., None] if a.ndim == 2 else a
+
+        tin = {
+            "rgb": t(np.transpose(d1["rgb"], (0, 3, 1, 2))),
+            "cld_rgb_nrm": t(np.transpose(d1["cld_rgb_nrm"], (0, 2, 1))),
+            "choose": t(d1["choose"][:, None, :], torch.int64),
+        }
+        for i in range(4):
+            tin[f"cld_xyz{i}"] = t(inp[f"cld_xyz{i}"])
+            for k2 in ("cld_nei_idx", "cld_sub_idx", "r2p_ds_nei_idx"):
+                tin[f"{k2}{i}"] = t(inp[f"{k2}{i}"], torch.int64)
+            for k2 in ("cld_interp_idx", "p2r_ds_nei_idx"):
+                tin[f"{k2}{i}"] = t(idx3(inp[f"{k2}{i}"]), torch.int64)
+        for i in range(3):
+            tin[f"r2p_up_nei_idx{i}"] = t(inp[f"r2p_up_nei_idx{i}"],
+                                          torch.int64)
+            tin[f"p2r_up_nei_idx{i}"] = t(idx3(inp[f"p2r_up_nei_idx{i}"]),
+                                          torch.int64)
+
+        with reference_imports(patch_load_state_dict=True):
+            import models.geoMatch as gm
+
+            class MeshStub(torch.nn.Module):
+                """Precomputed mesh features (SplineCNN branch needs
+                torch_geometric kernels, absent here)."""
+
+                def __init__(self, cfg, cls_id):
+                    super().__init__()
+                    torch.manual_seed(1)
+                    self.register_buffer(
+                        "f", torch.randn(cfg["feat_dim"], n_mesh))
+
+                def forward(self):
+                    return self.f
+
+            orig = gm.MeshEmbModel
+            gm.MeshEmbModel = MeshStub
+            try:
+                from config.lmo_cfg import MODEL as REF_MODEL_CFG
+
+                torch.manual_seed(0)
+                ref = gm.GeoMatch(REF_MODEL_CFG, 1)
+            finally:
+                gm.MeshEmbModel = orig
+            ref.eval()
+
+            mesh_xyz = np.random.RandomState(2).randn(n_mesh, 3) * 0.05
+            cld = d1["cld_rgb_nrm"][0, :, :3]
+
+            def one_frame():
+                with torch.no_grad():
+                    end = ref(tin)
+                # cal_frame_poses (evaluator.py:78-99)
+                seg = end["seg"][0].numpy()
+                mask = np.argmax(seg, 0) == 1
+                f = end["rgbd"][0].numpy().T
+                f = f / np.maximum(
+                    np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+                mf = end["mesh"][0].numpy().T
+                mf = mf / np.maximum(
+                    np.linalg.norm(mf, axis=1, keepdims=True), 1e-12)
+                idx = (f @ mf.T).argmax(1)
+                sel = np.where(mask)[0]
+                if len(sel) < 5:
+                    sel = np.arange(len(cld))
+                _kabsch_np(mesh_xyz[idx[sel]], cld[sel])
+
+            one_frame()                                    # warmup
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                one_frame()
+            return iters / (time.perf_counter() - t0)
+    finally:
+        sys.path.remove(osp.join(REPO, "tests"))
+
+
+def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
+                  dtype="float32", steps=10, warmup=2, seed=0):
+    """Fused-train-step samples/sec at production shapes (one compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.data.synthetic import make_batch
+    from gdm_tpu.models import GeoMatch
+    from gdm_tpu.train import (
+        bn_momentum_schedule,
+        create_train_state,
+        cyclic_lr,
+        make_train_step,
+    )
+
+    K = np.array([[572.4, 0, im / 2], [0, 573.6, im / 2], [0, 0, 1]],
+                 np.float32)
+    data, _ = make_batch(mesh_fps, batch, K, im_size=im,
+                         n_sample=n_sample, seed=seed + 31)
+    inputs = assemble_inputs(
+        jnp.asarray(data["rgb"]), jnp.asarray(data["cld_rgb_nrm"]),
+        jnp.asarray(data["choose"]), jnp.asarray(data["xyz_img"]),
+        labels=jnp.asarray(data["labels"]),
+        match_idx=jnp.asarray(data["match_idx"]),
+        visible_flag=jnp.asarray(data["visible_flag"]),
+        RT=jnp.asarray(data["RT"]))
+    model = GeoMatch(positive_r=0.004, compute_dtype=jnp.dtype(dtype))
+    state = create_train_state(
+        model, jax.random.PRNGKey(seed), inputs, mesh,
+        cyclic_lr(1e-5, 1e-3, 100))
+    step = make_train_step(bn_momentum_schedule(batch_size=batch),
+                           build_pyramid_in_step=False)
+    rng = jax.random.PRNGKey(seed + 7)
+    for _ in range(warmup):
+        state, metrics = step(state, inputs, mesh, rng)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, inputs, mesh, rng)
+    # chained state dependency + scalar fetch => all steps really ran
+    float(jax.device_get(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
 
 
 def main():
@@ -96,7 +279,8 @@ def main():
 
     from gdm_tpu.models import GeoMatch
 
-    graph, mesh, data = build_workload()
+    n_mesh = 4096
+    graph, mesh, data, mesh_fps = build_workload(n_mesh=n_mesh)
     model = GeoMatch()
 
     from gdm_tpu.data.pipeline import assemble_inputs
@@ -118,18 +302,39 @@ def main():
                  iters=15, warmup=3)
 
     cpu = jax.devices("cpu")[0]
-    cpu_fps = run_on(cpu, batch_small, mesh, model, variables, mesh.xyz,
-                     iters=1, warmup=1)
+    jax_cpu_fps = run_on(cpu, batch_small, mesh, model, variables,
+                         mesh.xyz, iters=1, warmup=1)
 
-    print(json.dumps({
+    ref_fps = measure_reference_torch_cpu(
+        batch_small, jax.device_get(sample_inputs), n_mesh)
+    if ref_fps is not None:
+        baseline_fps, baseline_kind = ref_fps, "reference_torch_cpu"
+    else:
+        baseline_fps, baseline_kind = jax_cpu_fps, "self_jax_cpu"
+
+    result = {
         "metric": "ycbv_shaped_inference_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / cpu_fps, 2),
-        "baseline_fps": round(cpu_fps, 3),
+        "vs_baseline": round(fps / baseline_fps, 2),
+        "baseline_fps": round(baseline_fps, 3),
+        "baseline_kind": baseline_kind,
+        "jax_cpu_fps": round(jax_cpu_fps, 3),
         "batch": int(data["rgb"].shape[0]),
         "device": str(accel.platform),
-    }))
+    }
+
+    if os.environ.get("GDM_BENCH_TRAIN", "1") != "0":
+        for dt_name, key in (("float32", "train_sps_b24_f32"),
+                             ("bfloat16", "train_sps_b24_bf16")):
+            try:
+                result[key] = round(measure_train(
+                    mesh_fps, mesh, dtype=dt_name), 2)
+            except Exception as e:   # keep the headline even if train
+                result[key] = None   # measurement fails
+                result[key + "_error"] = str(e)[:120]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
