@@ -39,27 +39,56 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def all_gather_host(obj):
+def _allgather_rows(row: np.ndarray, devices) -> np.ndarray:
+    """One row per PROCESS, replicated to every process -> [P, ...].
+
+    Explicit-device replacement for multihost_utils.process_allgather:
+    each process contributes `row` on its addressable devices of the
+    given (global) device list, a replicating jit moves every shard to
+    every process, and one representative row per process is returned.
+    Works on any backend — including a multi-process CPU rehearsal
+    (jax_cpu_collectives_implementation=gloo), which process_allgather
+    cannot reach here because the default backend hides the topology.
+    """
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    platform = devices[0].platform
+    mesh = Mesh(np.array(devices), ("p",))
+    me = jax.process_index(platform)
+    local = [d for d in devices if d.process_index == me]
+    row = np.asarray(row)[None]
+    arrs = [jax.device_put(row, d) for d in local]
+    garr = jax.make_array_from_single_device_arrays(
+        (len(devices),) + row.shape[1:], NamedSharding(mesh, P("p")),
+        arrs)
+    rep = jax.jit(lambda a: a,
+                  out_shardings=NamedSharding(mesh, P()))(garr)
+    full = np.asarray(jax.device_get(rep))           # [n_devices, ...]
+    first = {}
+    for i, d in enumerate(devices):
+        first.setdefault(d.process_index, i)
+    return np.stack([full[first[p]] for p in sorted(first)])
+
+
+def all_gather_host(obj, devices=None):
     """Gather a python object from all hosts (evaluator aggregation).
 
-    Single-host: identity list.  Multi-host: via
-    jax.experimental.multihost_utils (the TPU replacement for the
-    pickled NCCL all_gather at utils/my_comm.py:57-103).
+    Single-host: identity list.  Multi-host: pickled bytes are padded to
+    the max length and allgathered over the device mesh — the TPU
+    replacement for the pickled NCCL all_gather at utils/my_comm.py:
+    57-103.  `devices` defaults to jax.devices(); tests pass the global
+    CPU device list of a 2-process rehearsal.
     """
-    if jax.process_count() == 1:
-        return [obj]
-    from jax.experimental import multihost_utils
-
     import pickle
 
+    devices = list(jax.devices() if devices is None else devices)
+    if len({d.process_index for d in devices}) == 1:
+        return [obj]
     payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
-    # pad to a common max length across hosts
-    n = np.array([len(payload)], np.int32)
-    all_n = multihost_utils.process_allgather(n)
+    # lengths first, then pad to the common max across hosts
+    all_n = _allgather_rows(np.array([len(payload)], np.int32), devices)
     max_n = int(all_n.max())
     padded = np.zeros((max_n,), np.uint8)
     padded[: len(payload)] = payload
-    gathered = multihost_utils.process_allgather(padded)
-    lengths = all_n.reshape(-1)
-    return [pickle.loads(gathered[i, : int(lengths[i])].tobytes())
+    gathered = _allgather_rows(padded, devices)
+    return [pickle.loads(gathered[i, : int(all_n[i, 0])].tobytes())
             for i in range(gathered.shape[0])]

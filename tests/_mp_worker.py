@@ -1,0 +1,123 @@
+"""Worker for the 2-process distributed rehearsal (test_multiprocess.py).
+
+Each process: jax.distributed.initialize over CPU (gloo collectives,
+2 local virtual devices), then exercises the REAL multi-host code paths
+that single-process tests cannot reach (VERDICT round 1, item 3):
+
+  * DataLoader rank/world sample sharding,
+  * a jitted SPMD train step over the 4-device global mesh built with
+    parallel.make_mesh/shard_batch/replicate (gradient reduction is
+    XLA-inserted from the shardings — the NCCL-allreduce replacement),
+  * parallel.all_gather_host merge of per-process prediction dicts.
+
+Writes a JSON result file for the parent test to assert on.
+
+Usage: python _mp_worker.py <pid> <nproc> <port> <out.json>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
+                                  sys.argv[3], sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import jax
+
+    print("W: jax imported", flush=True)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(f"localhost:{port}", nproc, pid)
+    print("W: distributed up", flush=True)
+
+    # this test must not depend on the tunneled TPU: pin default array
+    # creation to OUR local CPU device (devices("cpu")[0] can belong to
+    # the other process)
+    local_cpu = [d for d in jax.devices("cpu")
+                 if d.process_index == jax.process_index("cpu")][0]
+    jax.config.update("jax_default_device", local_cpu)
+
+    import numpy as np
+
+    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.parallel import (
+        all_gather_host,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    cpus = sorted(jax.devices("cpu"), key=lambda d: (d.process_index,
+                                                     d.id))
+    rank = jax.process_index("cpu")
+    world = jax.process_count("cpu")
+    assert world == nproc, (world, nproc)
+
+    # --- sharded loader: 16 samples, global batch 8 per host ----------
+    data = [{"x": np.full((4,), float(i), np.float32), "name": f"s{i}"}
+            for i in range(16)]
+    dl = DataLoader(data, batch_size=8, shuffle=True, num_workers=2,
+                    seed=5, rank=rank, world=world)
+    dl.set_epoch(0)
+    print("W: loader built", flush=True)
+    batch, meta = next(iter(dl))
+    print("W: batch loaded", flush=True)
+    seen = sorted(int(m["name"][1:]) for m in meta)
+    # interleaved shard: disjoint across ranks, union = all samples
+    # (parent asserts across the two result files)
+
+    # --- SPMD step over the global 4-device mesh ----------------------
+    import jax.numpy as jnp
+
+    mesh = make_mesh(devices=cpus)
+    w = replicate(jnp.ones((4,), jnp.float32), mesh)
+    sharded = shard_batch({"x": batch["x"]}, mesh)
+
+    def loss(w, b):
+        return jnp.mean((b["x"] @ w) ** 2)
+
+    @jax.jit
+    def step(w, b):
+        return w - 0.1 * jax.grad(loss)(w, b), loss(w, b)
+
+    print("W: stepping", flush=True)
+    w2, l0 = step(w, sharded)
+    w2_host = np.asarray(jax.device_get(w2))
+    print("W: step done", flush=True)
+    # each process passed its own host batch to shard_batch; the global
+    # array takes rows [rank*4:(rank+1)*4] of each process's copy, so the
+    # gradient mixes samples from BOTH processes -> identical w2
+    # everywhere proves the cross-process reduction really ran
+    contributed = sorted(int(m["name"][1:])
+                         for m in meta[rank * 4:(rank + 1) * 4])
+
+    # --- evaluator-style gather --------------------------------------
+    preds = {f"obj{rank}": {f"frame{rank}": rank * 10}}
+    print("W: gathering", flush=True)
+    merged_parts = all_gather_host(preds, devices=cpus)
+    print("W: gathered", flush=True)
+    merged = {}
+    for p in merged_parts:
+        merged.update(p)
+
+    with open(out_path, "w") as f:
+        json.dump({
+            "rank": rank,
+            "world": world,
+            "n_global_devices": len(cpus),
+            "loader_seen": seen,
+            "contributed": contributed,
+            "w2": w2_host.tolist(),
+            "loss": float(l0),
+            "merged": merged,
+        }, f)
+
+    # reach the shutdown barrier together — otherwise the first process
+    # to exit fails the barrier and the coordinator kills the other
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
