@@ -144,13 +144,22 @@ class PoseDataset:
                 data = self.get_item(
                     self._pick_record(self.rng.randint(len(self))))
             return data
-        data = self.get_item(self.annos[idx])
+        # test mode: per-index rng so point sampling is deterministic
+        # regardless of loader thread scheduling — two eval runs of the
+        # same checkpoint produce bit-identical predictions (the
+        # reference samples from global np.random and is not
+        # reproducible across runs)
+        data = self.get_item(
+            self.annos[idx],
+            rng=np.random.RandomState((7919 * idx + 13) % (2 ** 31)))
         assert data is not None
         return data
 
     # -- the per-sample pipeline -------------------------------------------
 
-    def get_item(self, rec: bop.Record) -> dict | None:
+    def get_item(self, rec: bop.Record,
+                 rng: np.random.RandomState | None = None) -> dict | None:
+        rng = self.rng if rng is None else rng
         with Image.open(rec.rgb_file) as ri:
             rgb = np.array(ri)[:, :, :3]
         with Image.open(rec.depth_file) as di:
@@ -176,7 +185,7 @@ class PoseDataset:
 
         dcfg = self.cfg.data
         center, scale = bop.aug_bbox_dzi(
-            bbox, self.rng, dcfg.dzi_scale_ratio, dcfg.dzi_shift_ratio,
+            bbox, rng, dcfg.dzi_scale_ratio, dcfg.dzi_shift_ratio,
             dcfg.dzi_pad_ratio, self.im_hw, test=self.mode == "test")
 
         S = self.in_size
@@ -192,13 +201,13 @@ class PoseDataset:
         K_crop = (A @ K).astype(np.float32)
 
         if self.add_noise and rec.img_type == "synt":
-            rgb_c = rgb_add_noise(rgb_c, self.rng)
+            rgb_c = rgb_add_noise(rgb_c, rng)
             if self.real_annos:
                 rgb_c, dpt_c = add_real_background(
                     rgb_c, mask_c, dpt_c, mskdp_c, self.real_annos,
-                    self.rng, S, self.im_hw)
-            if self.rng.rand() > 0.8:
-                rgb_c = rgb_add_noise(rgb_c, self.rng)
+                    rng, S, self.im_hw)
+            if rng.rand() > 0.8:
+                rgb_c = rgb_add_noise(rgb_c, rng)
 
         dpt_filled = fill_depth_fast(dpt_c) if self.fill_depth else dpt_c
 
@@ -210,12 +219,12 @@ class PoseDataset:
         if len(choose) > self.n_sample:           # linemod_pbr.py:485-496
             keep = np.zeros(len(choose), int)
             keep[:self.n_sample] = 1
-            self.rng.shuffle(keep)
+            rng.shuffle(keep)
             choose = choose[keep.nonzero()[0]]
         else:
             choose = np.pad(choose, (0, self.n_sample - len(choose)),
                             "wrap")
-        self.rng.shuffle(choose)
+        rng.shuffle(choose)
         choose = choose.astype(np.int32)
 
         # host backprojection of the raw crop depth (GT gen needs cld; the

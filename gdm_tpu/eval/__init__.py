@@ -17,4 +17,4 @@ from gdm_tpu.eval.metrics import (
     voc_auc,
 )
 from gdm_tpu.eval.evaluator import Evaluator
-from gdm_tpu.eval.vsd import vsd_err, vsd_recall
+from gdm_tpu.eval.vsd import vsd_err, vsd_err_batch, vsd_recall

@@ -153,6 +153,11 @@ class Evaluator:
 
                 rec["vsd"] = []
                 err["vsd"] = []
+                # VSD renders run BATCHED after the frame loop (one
+                # vmapped device call per window/z/K group instead of a
+                # dispatch per frame); slots mark where each frame's
+                # result lands so ordering matches the other metrics
+                vsd_poses, vsd_depths, vsd_ks, vsd_slots = [], [], [], []
 
             for file_name, gt in obj_gts.items():
                 if file_name not in cur_preds:
@@ -236,17 +241,28 @@ class Evaluator:
                 if do_vsd:
                     depth = self._gt_depth(gt)
                     if depth is not None:
-                        from gdm_tpu.eval.vsd import (
-                            BOP19_CORRECT_TH, vsd_err)
+                        vsd_poses.append((R_pred, t_pred.ravel(),
+                                          R_gt, t_gt.ravel()))
+                        vsd_depths.append(depth)
+                        vsd_ks.append(np.asarray(K, np.float64))
+                        vsd_slots.append(len(err["vsd"]))
+                        err["vsd"].append(None)
+                        rec["vsd"].append(None)
 
-                        verts, faces_ = self.vsd_meshes[obj_name]
-                        ve = vsd_err(R_pred, t_pred, R_gt, t_gt, depth,
-                                     K, verts, faces_, diameter)
-                        # full per-tau error vector (the reference's
-                        # offline eval stores errors per tau too)
-                        err["vsd"].append(np.asarray(ve, np.float64))
-                        rec["vsd"].append(
-                            float(np.mean(ve < BOP19_CORRECT_TH[0])))
+            if do_vsd and vsd_poses:
+                from gdm_tpu.eval.vsd import BOP19_CORRECT_TH, \
+                    vsd_err_batch
+
+                verts, faces_ = self.vsd_meshes[obj_name]
+                ves = vsd_err_batch(vsd_poses, vsd_depths,
+                                    np.stack(vsd_ks), verts, faces_,
+                                    diameter)
+                for slot, ve in zip(vsd_slots, ves):
+                    # full per-tau error vector (the reference's offline
+                    # eval stores errors per tau too)
+                    err["vsd"][slot] = np.asarray(ve, np.float64)
+                    rec["vsd"][slot] = float(
+                        np.mean(ve < BOP19_CORRECT_TH[0]))
 
             recalls[obj_name] = rec
             errors[obj_name] = err

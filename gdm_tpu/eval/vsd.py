@@ -54,18 +54,23 @@ def _ray_angle_factor(K: np.ndarray, im_hw, margin: float) -> float:
     return 1.0 + float(max(rx, ry))
 
 
+def _z_bucket(z_min: float) -> float:
+    """Bucket z_min in 1.25x steps: subdivided face count scales with
+    (1/zb)^2, so coarse pow2 buckets would cost up to 4x the raster
+    work; 1.25x granularity caps the overshoot at ~1.56x for at most a
+    handful of cache entries per object.  Also the frame-grouping key of
+    vsd_err_batch (frames sharing a bucket share one subdivision)."""
+    zq = max(z_min, 0.126)
+    return float(max(0.125, 1.25 ** np.floor(np.log(zq) / np.log(1.25))))
+
+
 def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
                    z_min: float, tile: int, ray_factor: float):
     """Subdivide (cached) so every triangle fits the raster tile at z_min."""
     import zlib
 
     fx = float(max(K[0, 0], K[1, 1]))
-    # bucket z_min in 1.25x steps: subdivided face count scales with
-    # (1/zb)^2, so coarse pow2 buckets would cost up to 4x the raster
-    # work; 1.25x granularity caps the overshoot at ~1.56x for at most a
-    # handful of cache entries per object
-    zq = max(z_min, 0.126)
-    zb = float(max(0.125, 1.25 ** np.floor(np.log(zq) / np.log(1.25))))
+    zb = _z_bucket(z_min)
     # bucket the ray factor too (same 1.25 steps) so one subdivision
     # serves intrinsics/window variations without fragmenting the cache
     rf = float(1.25 ** np.ceil(np.log(max(ray_factor, 1.0))
@@ -104,14 +109,10 @@ def _dist_factor(origin, window, K):
     return jnp.sqrt(xs * xs + ys * ys + 1.0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("window", "tile", "n_taus", "cost_type",
-                     "normalized_by_diameter"))
-def _vsd_core(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
-              depth_test_win, im_hw, taus, delta, diameter,
-              window=(256, 256), tile=16, n_taus=10, cost_type="step",
-              normalized_by_diameter=True):
+def _vsd_one(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
+             depth_test_win, im_hw, taus, delta, diameter,
+             window=(256, 256), tile=16, n_taus=10, cost_type="step",
+             normalized_by_diameter=True):
     h, w = window
     v_est = verts @ R_est.T + t_est[None, :]
     v_gt = verts @ R_gt.T + t_gt[None, :]
@@ -166,6 +167,30 @@ def _vsd_core(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
     return jnp.stack([err_for_tau(taus[i]) for i in range(n_taus)])
 
 
+_vsd_core = functools.partial(jax.jit, static_argnames=(
+    "window", "tile", "n_taus", "cost_type",
+    "normalized_by_diameter"))(_vsd_one)
+
+@functools.partial(jax.jit, static_argnames=(
+    "window", "tile", "n_taus", "cost_type", "normalized_by_diameter"))
+def _vsd_core_batch(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
+                    depth_wins, im_hw, taus, delta, diameter,
+                    window=(256, 256), tile=16, n_taus=10,
+                    cost_type="step", normalized_by_diameter=True):
+    """Batched core: vmap over (poses, origin, depth window) with the
+    mesh/K/taus shared — one compile per (window, tile) serves every
+    frame group of every object, and the per-frame scatter-min z-buffers
+    batch into a single dispatch instead of one launch per frame."""
+
+    def one(R_e, t_e, R_g, t_g, o, d):
+        return _vsd_one(verts, faces, R_e, t_e, R_g, t_g, K, o, d,
+                        im_hw, taus, delta, diameter, window=window,
+                        tile=tile, n_taus=n_taus, cost_type=cost_type,
+                        normalized_by_diameter=normalized_by_diameter)
+
+    return jax.vmap(one)(R_est, t_est, R_gt, t_gt, origin, depth_wins)
+
+
 def _bucket(v, buckets):
     for b in buckets:
         if v <= b:
@@ -196,6 +221,18 @@ def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
 
     Returns: [len(taus)] float errors in [0, 1].
     """
+    job = _prep_job(R_est, t_est, R_gt, t_gt, depth_test, K, verts, tile)
+    errs = _run_group(
+        [job], np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32), diameter, delta, taus, tile,
+        cost_type, normalized_by_diameter)
+    return errs[0]
+
+
+def _prep_job(R_est, t_est, R_gt, t_gt, depth_test, K, verts, tile):
+    """Host-side per-frame prep: window origin/size bucket, depth crop,
+    and the subdivision z bucket.  Returns a compact job dict (the crop,
+    not the full frame) keyed for grouping by (side, z_bucket)."""
     depth_test = np.asarray(depth_test, np.float32)
     imh, imw = depth_test.shape
     R_est = np.asarray(R_est, np.float32)
@@ -205,7 +242,7 @@ def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
     verts = np.asarray(verts, np.float32)
     Knp = np.asarray(K, np.float32)
 
-    # host: window = union bbox of both projections + raster margin
+    # window = union bbox of both projections + raster margin
     def proj(R, t):
         vc = verts @ R.T + t[None, :]
         z = np.maximum(vc[:, 2], 1e-9)
@@ -234,27 +271,93 @@ def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
     if sx1 > sx0 and sy1 > sy0:
         win[sy0 - oy:sy1 - oy, sx0 - ox:sx1 - ox] = \
             depth_test[sy0:sy1, sx0:sx1]
-    origin = np.array([ox, oy], np.float32)
 
     z_min = float(min((verts @ R_est.T + t_est)[:, 2].min(),
                       (verts @ R_gt.T + t_gt)[:, 2].min()))
-    verts_s, faces_p = _prepared_mesh(
-        verts, np.asarray(faces, np.int32), Knp, z_min, tile,
-        _ray_angle_factor(Knp, (imh, imw), m))
+    return {
+        "R_est": R_est, "t_est": t_est, "R_gt": R_gt, "t_gt": t_gt,
+        "origin": np.array([ox, oy], np.float32), "win": win,
+        "side": side, "zb": _z_bucket(z_min), "z_min": z_min,
+        "im_hw": np.array([imh, imw], np.float32), "margin": m,
+        "K": Knp,
+    }
 
-    errs = _vsd_core(
+
+def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
+               cost_type, normalized_by_diameter):
+    """Run jobs that share (side, z bucket, K, im_hw) as ONE vmapped
+    call.
+
+    The batch is padded to a power of two (repeating the last job) so
+    remainder groups reuse compiles instead of specialising per size."""
+    n = len(jobs)
+    side = jobs[0]["side"]
+    Knp = jobs[0]["K"]
+    imh, imw = jobs[0]["im_hw"]
+    verts_s, faces_p = _prepared_mesh(
+        verts, faces, Knp, min(j["z_min"] for j in jobs), tile,
+        _ray_angle_factor(Knp, (imh, imw), jobs[0]["margin"]))
+    nb = 1
+    while nb < n:
+        nb *= 2
+    jobs = jobs + [jobs[-1]] * (nb - n)
+    stack = {k: jnp.asarray(np.stack([j[k] for j in jobs]))
+             for k in ("R_est", "t_est", "R_gt", "t_gt", "origin", "win")}
+    errs = _vsd_core_batch(
         verts_s, faces_p,
-        jnp.asarray(R_est), jnp.asarray(t_est),
-        jnp.asarray(R_gt), jnp.asarray(t_gt),
-        jnp.asarray(Knp), jnp.asarray(origin),
-        jnp.asarray(win), jnp.asarray([imh, imw], np.float32),
+        stack["R_est"], stack["t_est"], stack["R_gt"], stack["t_gt"],
+        jnp.asarray(Knp), stack["origin"], stack["win"],
+        jnp.asarray(jobs[0]["im_hw"]),
         jnp.asarray(list(taus), np.float32),
         jnp.asarray(delta, np.float32),
         jnp.asarray(diameter, np.float32),
         window=(side, side), tile=tile, n_taus=len(taus),
         cost_type=cost_type,
         normalized_by_diameter=normalized_by_diameter)
-    return np.asarray(errs)
+    return np.asarray(errs)[:n]
+
+
+def vsd_err_batch(poses, depth_tests, K, verts, faces, diameter,
+                  delta=BOP19_DELTA, taus=BOP19_TAUS,
+                  normalized_by_diameter=True, cost_type="step",
+                  tile=16, group_cap=64) -> np.ndarray:
+    """VSD errors for many frames of one object: [n, len(taus)].
+
+    Frames are grouped by (window bucket, subdivision z bucket) and each
+    group runs as one vmapped device call — the per-frame dispatch and
+    scatter-launch overhead of calling :func:`vsd_err` in a loop is the
+    dominant cost of offline `score --vsd` over full test sets.
+
+    Args:
+      poses: sequence of (R_est, t_est, R_gt, t_gt).
+      depth_tests: matching sequence of [H, W] metric test depths.
+      K: one [3, 3] intrinsics shared by all frames, or a sequence of
+        per-frame intrinsics (frames group by K as well).
+      group_cap: max frames per device call (bounds the window buffer
+        memory: group_cap * side^2 floats).
+    """
+    K = np.asarray(K, np.float32)
+    Ks = ([K] * len(depth_tests)) if K.ndim == 2 else list(K)
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    jobs = [_prep_job(R_e, t_e, R_g, t_g, d, Ki, verts, tile)
+            for (R_e, t_e, R_g, t_g), d, Ki
+            in zip(poses, depth_tests, Ks)]
+    out = np.zeros((len(jobs), len(taus)), np.float64)
+    groups: dict = {}
+    for i, j in enumerate(jobs):
+        groups.setdefault(
+            (j["side"], j["zb"], j["K"].tobytes(),
+             tuple(j["im_hw"])), []).append(i)
+    for idxs in groups.values():
+        for s in range(0, len(idxs), group_cap):
+            sel = idxs[s:s + group_cap]
+            errs = _run_group(
+                [jobs[i] for i in sel], verts, faces, diameter,
+                delta, taus, tile, cost_type, normalized_by_diameter)
+            for row, i in zip(errs, sel):
+                out[i] = row
+    return out
 
 
 def vsd_recall(errors_per_frame, correct_ths=BOP19_CORRECT_TH) -> float:

@@ -8,6 +8,15 @@ gather/top-k/segment computation XLA maps onto the VPU/MXU directly.
 
 All functions are single-cloud ([n, ...]); ``jax.vmap`` over a leading batch
 axis replaces the CUDA kernels' blockIdx batching.
+
+Deliberately skipped (dead code in the reference — nothing outside
+lib/pointops itself imports the package, and its CUDA src/ is absent from
+the tree): labelstat_ballrange / labelstat_idx / labelstat_and_ballquery
+(pointops.py:442-532, semantic-seg label histograms) and
+featuredistribute / featuregather (pointops.py:534-675, a
+feature-matching op pair from a different project).  They have no
+call sites to be parity-tested against; revisit only if a consumer
+appears.
 """
 
 from __future__ import annotations

@@ -1,12 +1,18 @@
 """Training-layer tests: schedules, train step, overfit, checkpointing,
-8-virtual-device data parallelism."""
+8-virtual-device data parallelism.
+
+Compile time dominates this file on CPU, so everything that can share a
+compiled train step / initialised state does (module-scoped fixture);
+TrainState is immutable, so sharing is safe.
+"""
+
+from types import SimpleNamespace
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from gdm_tpu.configs import get_config
 from gdm_tpu.data.pipeline import assemble_inputs
 from gdm_tpu.data.synthetic import make_batch, make_object
 from gdm_tpu.models import GeoMatch
@@ -36,6 +42,29 @@ def small_problem(batch=2, n_mesh=64, n_sample=256, im=64, seed=0):
     return mesh, batch_dict
 
 
+def _inputs(batch, knn_chunk=128):
+    return assemble_inputs(
+        batch["rgb"], batch["cld_rgb_nrm"], batch["choose"],
+        batch["xyz_img"], labels=batch["labels"],
+        match_idx=batch["match_idx"],
+        visible_flag=batch["visible_flag"], RT=batch["RT"],
+        knn_chunk=knn_chunk)
+
+
+@pytest.fixture(scope="module")
+def shared():
+    """One model + initialised state + compiled step for the b=2 tests."""
+    mesh, batch = small_problem()
+    model = GeoMatch(positive_r=0.01)
+    state0 = create_train_state(
+        model, jax.random.PRNGKey(0), _inputs(batch), mesh,
+        cyclic_lr(1e-4, 1e-3, 100))
+    step = make_train_step(bn_momentum_schedule(), knn_chunk=128,
+                           donate=False)
+    return SimpleNamespace(mesh=mesh, batch=batch, model=model,
+                           state0=state0, step=step)
+
+
 class TestSchedules:
     def test_cyclic_lr_matches_torch(self):
         import torch
@@ -62,50 +91,26 @@ class TestSchedules:
 
 
 class TestTrainStep:
-    def test_overfit_tiny(self):
-        mesh, batch = small_problem()
-        model = GeoMatch(positive_r=0.01)
-        sample_inputs = assemble_inputs(
-            batch["rgb"], batch["cld_rgb_nrm"], batch["choose"],
-            batch["xyz_img"], labels=batch["labels"],
-            match_idx=batch["match_idx"],
-            visible_flag=batch["visible_flag"], RT=batch["RT"],
-            knn_chunk=128)
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), sample_inputs, mesh,
-            cyclic_lr(1e-4, 1e-3, 100))
-        step = make_train_step(
-            bn_momentum_schedule(), knn_chunk=128, donate=False)
+    def test_overfit_tiny(self, shared):
+        state = shared.state0
         rng = jax.random.PRNGKey(7)
         losses = []
         for i in range(12):
-            state, metrics = step(state, batch, mesh, rng)
+            state, metrics = shared.step(state, shared.batch, shared.mesh,
+                                         rng)
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.7, losses
         assert int(state.step) == 12
 
-    def test_checkpoint_roundtrip(self, tmp_path):
-        mesh, batch = small_problem()
-        model = GeoMatch(positive_r=0.01)
-        sample_inputs = assemble_inputs(
-            batch["rgb"], batch["cld_rgb_nrm"], batch["choose"],
-            batch["xyz_img"], labels=batch["labels"],
-            match_idx=batch["match_idx"],
-            visible_flag=batch["visible_flag"], RT=batch["RT"],
-            knn_chunk=128)
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), sample_inputs, mesh,
-            cyclic_lr(1e-4, 1e-3, 100))
-        step = make_train_step(bn_momentum_schedule(), knn_chunk=128,
-                               donate=False)
-        state, _ = step(state, batch, mesh, jax.random.PRNGKey(7))
+    def test_checkpoint_roundtrip(self, tmp_path, shared):
+        state, _ = shared.step(shared.state0, shared.batch, shared.mesh,
+                               jax.random.PRNGKey(7))
         save_checkpoint(state, str(tmp_path / "obj"), epoch=3)
 
-        fresh = create_train_state(
-            model, jax.random.PRNGKey(99), sample_inputs, mesh,
-            cyclic_lr(1e-4, 1e-3, 100))
-        restored, epoch = load_checkpoint(fresh, str(tmp_path / "obj"))
+        # restore into the pristine shared state as template
+        restored, epoch = load_checkpoint(shared.state0,
+                                          str(tmp_path / "obj"))
         assert epoch == 3
         assert int(restored.step) == 1
         a = jax.tree_util.tree_leaves(state.params)
@@ -113,61 +118,39 @@ class TestTrainStep:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
-    def test_missing_checkpoint_returns_none(self, tmp_path):
-        mesh, batch = small_problem()
-        model = GeoMatch(positive_r=0.01)
-        sample_inputs = assemble_inputs(
-            batch["rgb"], batch["cld_rgb_nrm"], batch["choose"],
-            batch["xyz_img"], labels=batch["labels"],
-            match_idx=batch["match_idx"],
-            visible_flag=batch["visible_flag"], RT=batch["RT"],
-            knn_chunk=128)
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), sample_inputs, mesh,
-            cyclic_lr(1e-4, 1e-3, 100))
-        _, epoch = load_checkpoint(state, str(tmp_path / "nope"))
+    def test_missing_checkpoint_returns_none(self, tmp_path, shared):
+        _, epoch = load_checkpoint(shared.state0, str(tmp_path / "nope"))
         assert epoch is None
 
 
 class TestDataParallel:
-    def test_sharded_train_step_8dev(self):
+    def test_sharded_train_step_8dev(self, shared):
         devices = jax.devices("cpu")
         assert len(devices) == 8
         dp_mesh = make_mesh(devices)
         mesh, batch = small_problem(batch=8)
         batch = shard_batch({k: np.asarray(v) for k, v in batch.items()},
                             dp_mesh)
-        mesh = replicate(mesh, dp_mesh)
+        mesh_r = replicate(mesh, dp_mesh)
 
-        model = GeoMatch(positive_r=0.01)
-        sample_inputs = assemble_inputs(
-            batch["rgb"], batch["cld_rgb_nrm"], batch["choose"],
-            batch["xyz_img"], labels=batch["labels"],
-            match_idx=batch["match_idx"],
-            visible_flag=batch["visible_flag"], RT=batch["RT"],
-            knn_chunk=128)
         state = create_train_state(
-            model, jax.random.PRNGKey(0), sample_inputs, mesh,
+            shared.model, jax.random.PRNGKey(0), _inputs(batch), mesh_r,
             cyclic_lr(1e-4, 1e-3, 100))
-        state = state.replace(
+        state_sharded = state.replace(
             params=replicate(state.params, dp_mesh),
             batch_stats=replicate(state.batch_stats, dp_mesh),
             opt_state=replicate(state.opt_state, dp_mesh),
         )
-        step = make_train_step(bn_momentum_schedule(), knn_chunk=128,
-                               donate=False)
-        state2, metrics = step(state, batch, mesh, jax.random.PRNGKey(7))
+        state2, metrics = shared.step(state_sharded, batch, mesh_r,
+                                      jax.random.PRNGKey(7))
         assert np.isfinite(float(metrics["loss"]))
 
-        # parity vs single-device on identical inputs: the sharded step
-        # must produce the same loss (global batch stats == SyncBN)
-        state_s = create_train_state(
-            model, jax.random.PRNGKey(0), sample_inputs,
-            jax.tree_util.tree_map(np.asarray, mesh),
-            cyclic_lr(1e-4, 1e-3, 100))
+        # parity vs single-device on identical inputs and identical init
+        # (same PRNGKey): the sharded step must produce the same loss
+        # (global batch stats == SyncBN)
         host_batch = {k: np.asarray(v) for k, v in batch.items()}
         host_mesh = jax.tree_util.tree_map(np.asarray, mesh)
-        _, m_single = step(state_s, host_batch, host_mesh,
-                           jax.random.PRNGKey(7))
+        _, m_single = shared.step(state, host_batch, host_mesh,
+                                  jax.random.PRNGKey(7))
         assert float(metrics["loss"]) == pytest.approx(
             float(m_single["loss"]), rel=2e-4)

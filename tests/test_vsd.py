@@ -253,6 +253,61 @@ class TestVSD:
         assert vsd_recall([]) == 0.0
 
 
+class TestVSDBatch:
+    """vsd_err_batch must reproduce per-frame vsd_err exactly, across
+    mixed window buckets / z buckets and padded remainder groups."""
+
+    def setup_method(self, _):
+        self.verts, self.faces = square_mesh(half=0.1, z=0.0)
+        self.R = np.eye(3, dtype=np.float32)
+        self.diameter = float(0.2 * np.sqrt(2))
+
+    def test_matches_single_frame_path(self):
+        from gdm_tpu.eval.vsd import vsd_err_batch
+
+        rng = np.random.RandomState(0)
+        poses, depths = [], []
+        # 5 frames: three z's (different window AND z buckets), offsets
+        for i, z in enumerate([2.0, 2.0, 1.0, 4.0, 2.0]):
+            t_gt = np.array([0, 0, z], np.float32)
+            depths.append(_gt_depth(self.verts @ self.R.T + t_gt,
+                                    self.faces))
+            t_est = t_gt + rng.randn(3).astype(np.float32) \
+                * (0.02 * self.diameter)
+            poses.append((self.R, t_est, self.R, t_gt))
+
+        batch = vsd_err_batch(poses, depths, K, self.verts, self.faces,
+                              self.diameter)
+        assert batch.shape == (5, 10)
+        for i, (p, d) in enumerate(zip(poses, depths)):
+            single = vsd_err(p[0], p[1], p[2], p[3], d, K,
+                             self.verts, self.faces, self.diameter)
+            np.testing.assert_allclose(batch[i], single, atol=1e-7,
+                                       err_msg=f"frame {i}")
+
+    def test_per_frame_intrinsics(self):
+        from gdm_tpu.eval.vsd import vsd_err_batch
+
+        K2 = K.copy()
+        K2[0, 0] = K2[1, 1] = 450.0
+        t = np.array([0, 0, 2.0], np.float32)
+        d1 = _gt_depth(self.verts + t, self.faces)
+
+        def gt2(v, f):  # render with the second intrinsics
+            from gdm_tpu.ops.render_depth import render_depth_window
+            import jax.numpy as jnp
+            return np.asarray(render_depth_window(
+                jnp.asarray((v).astype(np.float32)), jnp.asarray(f),
+                jnp.asarray(K2.astype(np.float32)),
+                jnp.zeros(2, np.float32), window=(480, 640), tile=16))
+
+        d2 = gt2(self.verts + t, self.faces)
+        poses = [(self.R, t, self.R, t)] * 2
+        batch = vsd_err_batch(poses, [d1, d2], np.stack([K, K2]),
+                              self.verts, self.faces, self.diameter)
+        assert np.all(batch < 0.05)
+
+
 class TestWindowAndSubdivisionBounds:
     def test_bucket_grows_past_largest(self):
         # ITODD/HB frames need windows over 1024 px; the bucket list must
