@@ -232,7 +232,13 @@ def train(args):
                          data_root=args.data_root,
                          rng=np.random.RandomState(args.seed
                                                    + jax.process_index()))
-        dl = DataLoader(ds, batch_size, shuffle=True, drop_last=True,
+        # each host loads ONLY the rows its devices consume (shard_batch
+        # assembles the global batch from per-process local chunks)
+        if batch_size % jax.process_count():
+            raise SystemExit(f"batch {batch_size} not divisible by "
+                             f"{jax.process_count()} processes")
+        dl = DataLoader(ds, batch_size // jax.process_count(),
+                        shuffle=True, drop_last=True,
                         num_workers=args.num_workers, seed=args.seed,
                         rank=jax.process_index(), world=jax.process_count())
         log.info("%d samples, %d steps/epoch", len(ds), len(dl))
@@ -306,7 +312,12 @@ def evaluate(args):
     from gdm_tpu.data.pipeline import assemble_inputs
     from gdm_tpu.eval.evaluator import Evaluator
     from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
-    from gdm_tpu.parallel import all_gather_host, make_mesh, replicate
+    from gdm_tpu.parallel import (
+        all_gather_host,
+        local_rows,
+        make_mesh,
+        replicate,
+    )
     from gdm_tpu.refdata import get as get_refdata
     from gdm_tpu.train import create_train_state, load_checkpoint
     from gdm_tpu.train.import_torch import load_torch_reference_checkpoint
@@ -371,7 +382,11 @@ def evaluate(args):
             cfg, diameters[obj_name], mesh_fps, mesh_arr)
         if model is None:
             model = model_i        # positive_r differences are train-only
-        dl = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
+        if batch_size % jax.process_count():
+            raise SystemExit(f"batch {batch_size} not divisible by "
+                             f"{jax.process_count()} processes")
+        host_bs = batch_size // jax.process_count()
+        dl = DataLoader(ds, host_bs, shuffle=False, drop_last=False,
                         num_workers=args.num_workers,
                         rank=jax.process_index(),
                         world=jax.process_count())
@@ -423,10 +438,10 @@ def evaluate(args):
 
         n_done = 0
         for batch, meta in dl:
-            # pad the trailing partial batch to the compiled size
+            # pad the trailing partial batch to this host's compiled size
             n_real = batch["rgb_u8"].shape[0]
-            if n_real < batch_size:
-                pad = batch_size - n_real
+            if n_real < host_bs:
+                pad = host_bs - n_real
                 batch = {k: np.concatenate(
                     [v, np.repeat(v[-1:], pad, 0)]) for k, v in
                     batch.items()}
@@ -455,7 +470,10 @@ def evaluate(args):
             if mesh_feats is None:
                 mesh_feats = encode_mesh(state, mesh_input)
             t0 = time.perf_counter()
-            poses = jax.device_get(
+            # local_rows: on multi-host runs each process fetches the
+            # rows it loaded (device_get of non-addressable shards
+            # raises); single-host it is a plain device_get
+            poses = local_rows(
                 infer(state, fin, mesh_input, mesh_feats, mesh_xyz,
                       np.float32(icp_reject)))
             dt = (time.perf_counter() - t0) / n_real

@@ -15,4 +15,5 @@ from gdm_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
     all_gather_host,
+    local_rows,
 )

@@ -26,11 +26,56 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place every array of a batch dict with its leading axis sharded.
 
     Replaces the reference's DistributedSampler + per-rank H2D copies
-    (train_lm.py:399-403,158-176): one device_put distributes each global
-    batch across the mesh.
+    (train_lm.py:399-403,158-176).  Single process: one device_put
+    distributes the batch across the local mesh.  Multi-process: each
+    process passes its LOCAL rows (global_batch / process_count — what
+    its rank/world-sharded loader produced) and the global array is
+    assembled without any host decoding more samples than it
+    contributes.
     """
     sh = data_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    nproc = len({d.process_index for d in mesh.devices.flat})
+    if nproc == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), batch)
+
+    # built from single-device shards rather than
+    # make_array_from_process_local_data, which consults the DEFAULT
+    # backend's process count and breaks when the mesh lives on another
+    # backend (e.g. the multi-process CPU rehearsal under a TPU default)
+    devs = list(mesh.devices.flat)
+    me = jax.process_index(devs[0].platform)
+    local_pos = [k for k, d in enumerate(devs) if d.process_index == me]
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * nproc,) + x.shape[1:]
+        rpd = gshape[0] // len(devs)   # rows per device
+        # NamedSharding P(axis) over a 1-D mesh: device at mesh position
+        # k owns global rows [k*rpd, (k+1)*rpd); this process's local
+        # chunk fills its devices' row ranges in mesh order
+        arrs = [jax.device_put(x[i * rpd:(i + 1) * rpd], devs[k])
+                for i, k in enumerate(local_pos)]
+        return jax.make_array_from_single_device_arrays(gshape, sh, arrs)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, as numpy.
+
+    Multi-host eval companion of shard_batch: jax.device_get of a global
+    array whose shards live on other hosts raises; each host fetches the
+    rows it contributed (its loader's samples) and books predictions for
+    those only — the gather merges them (all_gather_host).
+    """
+    if not hasattr(arr, "addressable_shards"):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    if len(shards) == len(arr.sharding.device_set):
+        return np.asarray(arr)          # fully local
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def replicate(tree, mesh: Mesh):

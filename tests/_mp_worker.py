@@ -55,21 +55,25 @@ def main():
     world = jax.process_count("cpu")
     assert world == nproc, (world, nproc)
 
-    # --- sharded loader: 16 samples, global batch 8 per host ----------
+    # --- sharded loader: 16 samples, global batch 8 -> 4 rows per host
+    # (each host loads ONLY what its devices consume; shard_batch
+    # assembles the global batch from the per-process chunks)
     data = [{"x": np.full((4,), float(i), np.float32), "name": f"s{i}"}
             for i in range(16)]
-    dl = DataLoader(data, batch_size=8, shuffle=True, num_workers=2,
-                    seed=5, rank=rank, world=world)
+    dl = DataLoader(data, batch_size=8 // world, shuffle=True,
+                    num_workers=2, seed=5, rank=rank, world=world)
     dl.set_epoch(0)
     print("W: loader built", flush=True)
     batch, meta = next(iter(dl))
     print("W: batch loaded", flush=True)
     seen = sorted(int(m["name"][1:]) for m in meta)
-    # interleaved shard: disjoint across ranks, union = all samples
+    # interleaved shard: disjoint across ranks
     # (parent asserts across the two result files)
 
     # --- SPMD step over the global 4-device mesh ----------------------
     import jax.numpy as jnp
+
+    from gdm_tpu.parallel import local_rows
 
     mesh = make_mesh(devices=cpus)
     w = replicate(jnp.ones((4,), jnp.float32), mesh)
@@ -82,16 +86,18 @@ def main():
     def step(w, b):
         return w - 0.1 * jax.grad(loss)(w, b), loss(w, b)
 
+    # round trip: this process's rows of the global batch are exactly
+    # what its loader produced (nothing decoded is wasted)
+    np.testing.assert_array_equal(local_rows(sharded["x"]),
+                                  np.asarray(batch["x"]))
+
     print("W: stepping", flush=True)
     w2, l0 = step(w, sharded)
     w2_host = np.asarray(jax.device_get(w2))
     print("W: step done", flush=True)
-    # each process passed its own host batch to shard_batch; the global
-    # array takes rows [rank*4:(rank+1)*4] of each process's copy, so the
-    # gradient mixes samples from BOTH processes -> identical w2
-    # everywhere proves the cross-process reduction really ran
-    contributed = sorted(int(m["name"][1:])
-                         for m in meta[rank * 4:(rank + 1) * 4])
+    # every loaded sample contributes to the global batch; identical w2
+    # on both processes proves the cross-process reduction really ran
+    contributed = seen
 
     # --- evaluator-style gather --------------------------------------
     preds = {f"obj{rank}": {f"frame{rank}": rank * 10}}

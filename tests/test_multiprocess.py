@@ -70,10 +70,11 @@ def test_two_process_loader_step_gather(tmp_path):
     assert all(d["n_global_devices"] == 4 for d in r)
 
     # loader shards are disjoint and interleaved (DistributedSampler
-    # replacement): union of what both ranks loaded = first 16 samples
+    # replacement): each rank loaded 4 distinct samples for the global
+    # batch of 8
     s0, s1 = set(r[0]["loader_seen"]), set(r[1]["loader_seen"])
+    assert len(s0) == len(s1) == 4
     assert not (s0 & s1)
-    assert s0 | s1 == set(range(16))
 
     # the SPMD step consumed samples from BOTH processes and produced
     # bit-identical replicated params on each -> the cross-process
