@@ -101,7 +101,12 @@ def run_on(device, batch_np, mesh, model, variables, mesh_xyz,
             lambda x: jax.device_put(np.asarray(x), device), mesh)
         pipe = make_pipeline(model, variables, mesh_dev.xyz)
         for _ in range(warmup):
-            jax.block_until_ready(pipe(batch, mesh_dev))
+            out = pipe(batch, mesh_dev)
+        # warmup must END with a real data fetch: through the tunnel
+        # block_until_ready can return before execution, and the first
+        # fetch in the timed region would then absorb the warmup's
+        # still-pending work (measured: 142 vs 235 fps on rep 0)
+        float(jax.device_get(out[0, 0, 0]))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = pipe(batch, mesh_dev)
@@ -264,7 +269,7 @@ def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
     rng = jax.random.PRNGKey(seed + 7)
     for _ in range(warmup):
         state, metrics = step(state, inputs, mesh, rng)
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["loss"]))    # real fetch, see run_on
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, inputs, mesh, rng)

@@ -11,6 +11,7 @@ computation to CPU for deterministic float32 numerics.
 """
 
 import os
+import os.path as osp
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -18,8 +19,22 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# the persistent-cache AOT loader logs a spurious ERROR per hit about the
+# XLA-internal prefer-no-scatter/gather pseudo-features "not supported on
+# the host"; silence C++ logging in tests (python exceptions still raise)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
+
+# persistent compilation cache: this box has ONE cpu core and the suite
+# is compile-bound (~45 min cold); cached reruns cut big compiles ~5x.
+# Keyed by HLO hash, so edited code always recompiles.  Delete
+# .jax_cache to force a cold run.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+             ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 if jax.default_backend() != "cpu":
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
