@@ -68,6 +68,16 @@ def load_detections(path: str) -> dict:
 
 
 def _img_type(subset: str, mode: str) -> str:
+    """'pbr' | 'synt' | 'real' | 'test' per subset name.
+
+    Depth-scaling parity note: non-pbr train frames divide depth by 1000
+    here ('real'), while the reference's LM loader tags them "test" and
+    divides by depth_factor = 1000/depth_scale (linemod_pbr.py:181-183,
+    428-431).  Identical whenever scene_camera depth_scale == 1.0 — true
+    for every LINEMOD-family BOP subset including lm_full's
+    real/fuse/renders; YCB-V real frames use /1000 in the reference too
+    (ycbv_pbr.py:190,429-433), which this rule matches exactly.
+    """
     if mode == "test":
         return "test"
     if "pbr" in subset:
