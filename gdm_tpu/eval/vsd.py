@@ -92,6 +92,16 @@ def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
             fb *= 2
         fp = np.zeros((fb, 3), np.int32)
         fp[:nf] = f
+        # pad the vertex count to a power of two as well: otherwise every
+        # z bucket's subdivision yields a distinct vertex-array shape and
+        # therefore a distinct _vsd_core_batch executable — through the
+        # remote compile helper those recompiles dominated batched VSD
+        # (padding verts is free: the extra rows are never indexed)
+        vb = _FACE_BUCKET_MIN
+        while vb < len(v):
+            vb *= 2
+        v = np.concatenate(
+            [v, np.zeros((vb - len(v), 3), np.float32)], axis=0)
         # device-resident: the mesh is re-used for every frame of the
         # object; re-uploading ~MBs per call through the tunnel is waste
         _MESH_CACHE[key] = (jnp.asarray(v), jnp.asarray(fp))
