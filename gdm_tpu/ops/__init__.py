@@ -29,6 +29,11 @@ from gdm_tpu.ops.pointops import (
     group_points,
     three_nn_interpolate,
     ball_query,
+    labelstat_ballrange,
+    labelstat_idx,
+    labelstat_and_ballquery,
+    feature_distribute,
+    feature_gather,
 )
 from gdm_tpu.ops.spline_basis import (
     spline_basis,

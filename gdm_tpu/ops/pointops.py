@@ -9,14 +9,15 @@ gather/top-k/segment computation XLA maps onto the VPU/MXU directly.
 All functions are single-cloud ([n, ...]); ``jax.vmap`` over a leading batch
 axis replaces the CUDA kernels' blockIdx batching.
 
-Deliberately skipped (dead code in the reference — nothing outside
-lib/pointops itself imports the package, and its CUDA src/ is absent from
-the tree): labelstat_ballrange / labelstat_idx / labelstat_and_ballquery
-(pointops.py:442-532, semantic-seg label histograms) and
-featuredistribute / featuregather (pointops.py:534-675, a
-feature-matching op pair from a different project).  They have no
-call sites to be parity-tested against; revisit only if a consumer
-appears.
+The full reference op surface is covered, including the ops that are
+dead code there (nothing outside lib/pointops imports the package and
+its CUDA src/ is absent from the tree): labelstat_ballrange /
+labelstat_idx / labelstat_and_ballquery (pointops.py:287-373,
+semantic-seg label histograms) and feature_distribute / feature_gather
+(pointops.py:228-285, a nearest-anchor feature-assignment pair).  Their
+semantics are reconstructed from the wrapper shapes/docstrings (the
+kernels they call don't exist anywhere); golden tests pin them against
+numpy re-derivations.
 """
 
 from __future__ import annotations
@@ -111,3 +112,81 @@ def three_nn_interpolate(
 def knn_query(xyz: jax.Array, centers: jax.Array, k: int) -> jax.Array:
     """pointops KNNQuery parity — see :func:`gdm_tpu.ops.knn.knn`."""
     return knn(xyz, centers, k)
+
+
+@jax.jit
+def labelstat_ballrange(
+    xyz: jax.Array, centers: jax.Array, label_stat: jax.Array,
+    radius: float,
+) -> jax.Array:
+    """Per-centre class histogram over ALL points within `radius`.
+
+    pointops LabelStatBallRange parity (pointops.py:287-314; its CUDA
+    kernel src is absent from the reference tree — semantics from the
+    wrapper shapes: sum label_stat rows of every in-ball point, no
+    sample cap).  The in-ball mask contracts against the histogram on
+    the MXU instead of a per-centre loop.
+
+    Args:
+      xyz: [n, 3] points, centers: [m, 3], label_stat: [n, nclass]
+        per-point class counts (one-hot labels or accumulated counts).
+    Returns: [m, nclass] int32.
+    """
+    d2 = pairwise_sqdist(centers, xyz)                    # [m, n]
+    in_ball = (d2 <= radius * radius).astype(jnp.float32)
+    out = in_ball @ label_stat.astype(jnp.float32)
+    return jnp.round(out).astype(jnp.int32)
+
+
+def labelstat_idx(label_stat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Class histogram over given neighbour indices.
+
+    pointops LabelStatIdx parity (pointops.py:316-341): sum the
+    [n, nclass] per-point stats over each centre's [m, k] neighbour
+    list.
+    """
+    return jnp.sum(jnp.take(label_stat.astype(jnp.int32), idx, axis=0),
+                   axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def labelstat_and_ballquery(
+    xyz: jax.Array, centers: jax.Array, label_stat: jax.Array,
+    radius: float, k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused ball query + full-ball class histogram.
+
+    pointops LabelStatAndBallQuery parity (pointops.py:343-373): the
+    idx is the capped-at-k ball query (:func:`ball_query` semantics),
+    the histogram counts EVERY in-ball point like
+    :func:`labelstat_ballrange` (the two outputs of the fused CUDA
+    kernel have independent ranges).
+
+    Returns: (new_label_stat [m, nclass] int32, idx [m, k] int32).
+    """
+    return (labelstat_ballrange(xyz, centers, label_stat, radius),
+            ball_query(xyz, centers, radius, k))
+
+
+@jax.jit
+def feature_distribute(max_xyz: jax.Array, xyz: jax.Array) -> jax.Array:
+    """Index of the nearest `max_xyz` point for each `xyz` point.
+
+    pointops FeatureDistribute parity (pointops.py:228-249): assigns
+    every point of a dense cloud [m, 3] to its nearest anchor in
+    [n, 3].  One argmin over the pairwise-distance matrix.
+    """
+    return jnp.argmin(pairwise_sqdist(xyz, max_xyz),
+                      axis=1).astype(jnp.int32)
+
+
+def feature_gather(max_feature: jax.Array, distribute_idx: jax.Array
+                   ) -> jax.Array:
+    """Features gathered at distribute indices, differentiably.
+
+    pointops FeatureGather parity (pointops.py:252-285): forward is a
+    row gather [n, c] -> [m, c]; the reference's hand-written backward
+    (scatter-add of cotangents into the anchor rows) is exactly the VJP
+    XLA derives for ``take``, so no custom rule is needed.
+    """
+    return jnp.take(max_feature, distribute_idx, axis=0)

@@ -232,6 +232,62 @@ class TestPointOps:
         d = np.linalg.norm(pts[idx] - centers[:, None], axis=-1)
         assert np.all(d <= 0.2 + 1e-5)
 
+    def test_labelstat_ballrange_vs_numpy(self):
+        pts = RNG.rand(96, 3).astype(np.float32)
+        centers = RNG.rand(5, 3).astype(np.float32)
+        labels = RNG.randint(0, 4, 96)
+        stat = np.eye(4, dtype=np.int32)[labels]
+        out = np.asarray(ops.labelstat_ballrange(
+            jnp.array(pts), jnp.array(centers), jnp.array(stat), 0.3))
+        d = np.linalg.norm(pts[None] - centers[:, None], axis=-1)
+        want = np.stack([stat[d[i] <= 0.3].sum(0) for i in range(5)])
+        np.testing.assert_array_equal(out, want)
+
+    def test_labelstat_idx_counts_neighbour_labels(self):
+        labels = RNG.randint(0, 3, 32)
+        stat = np.eye(3, dtype=np.int32)[labels]
+        idx = RNG.randint(0, 32, (6, 8))
+        out = np.asarray(ops.labelstat_idx(jnp.array(stat), jnp.array(idx)))
+        want = np.stack([stat[row].sum(0) for row in idx])
+        np.testing.assert_array_equal(out, want)
+        assert np.all(out.sum(1) == 8)
+
+    def test_labelstat_and_ballquery_matches_parts(self):
+        pts = RNG.rand(64, 3).astype(np.float32)
+        centers = pts[:4]
+        stat = np.eye(2, dtype=np.int32)[RNG.randint(0, 2, 64)]
+        hist, idx = ops.labelstat_and_ballquery(
+            jnp.array(pts), jnp.array(centers), jnp.array(stat), 0.25, 8)
+        np.testing.assert_array_equal(
+            np.asarray(hist), np.asarray(ops.labelstat_ballrange(
+                jnp.array(pts), jnp.array(centers), jnp.array(stat), 0.25)))
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.asarray(ops.ball_query(
+                jnp.array(pts), jnp.array(centers), 0.25, 8)))
+
+    def test_feature_distribute_nearest_anchor(self):
+        anchors = RNG.randn(16, 3).astype(np.float32)
+        pts = RNG.randn(40, 3).astype(np.float32)
+        idx = np.asarray(ops.feature_distribute(
+            jnp.array(anchors), jnp.array(pts)))
+        d = np.linalg.norm(pts[:, None] - anchors[None], axis=-1)
+        np.testing.assert_array_equal(idx, d.argmin(1))
+
+    def test_feature_gather_grad_is_scatter_add(self):
+        import jax
+
+        feats = jnp.array(RNG.randn(8, 4).astype(np.float32))
+        idx = jnp.array(np.array([0, 0, 3, 5], np.int32))
+
+        def loss(f):
+            return jnp.sum(ops.feature_gather(f, idx) * 2.0)
+
+        g = np.asarray(jax.grad(loss)(feats))
+        want = np.zeros((8, 4), np.float32)
+        for i in np.asarray(idx):
+            want[i] += 2.0
+        np.testing.assert_allclose(g, want)
+
 
 class TestSplineBasis:
     def test_partition_of_unity(self):
