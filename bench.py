@@ -279,6 +279,51 @@ def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
     return batch / dt
 
 
+def measure_vsd(n_frames=16, reps=2, seed=3):
+    """Batched BOP-VSD ms/frame (eval/vsd.vsd_err_batch) on an LMO-like
+    workload: ~0.1 m icosphere-ish object, 640x480 frames.  All frames
+    share one distance so the whole batch lands in ONE (window side,
+    z-bucket, batch-pow2) group — exactly one compile through the remote
+    helper (grouped multi-bucket dispatch is covered by tests; here we
+    bound bench wall time).  Steady state = second rep."""
+    import jax
+
+    from gdm_tpu.data.synthetic import make_object
+    from gdm_tpu.eval.vsd import vsd_err_batch
+
+    rng = np.random.RandomState(seed)
+    mesh_fps = make_object(512, rng, radius=0.05)
+    verts = (mesh_fps[:, :3] / 1000.0).astype(np.float32)  # fps is mm
+    # triangulate the synthetic cloud crudely: fan over nearest triples
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(verts)
+    faces = hull.simplices.astype(np.int32)
+    verts = verts.astype(np.float32)
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                 np.float32)
+    poses, depths = [], []
+    for i in range(n_frames):
+        A = rng.randn(3, 3)
+        q, _ = np.linalg.qr(A)
+        Rg = (q * np.sign(np.linalg.det(q))).astype(np.float32)
+        tg = np.array([rng.uniform(-.05, .05), rng.uniform(-.05, .05),
+                       0.8], np.float32)
+        dR, _ = np.linalg.qr(np.eye(3) + 0.05 * rng.randn(3, 3))
+        Re = (dR * np.sign(np.linalg.det(dR))).astype(np.float32) @ Rg
+        te = tg + rng.randn(3).astype(np.float32) * 0.005
+        poses.append((Re, te, Rg, tg))
+        d = np.full((480, 640), tg[2] + 0.3, np.float32)
+        depths.append(d)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        vsd_err_batch(poses, depths, K, verts, faces, 0.1)
+        dt = (time.perf_counter() - t0) / n_frames
+        best = dt if best is None else min(best, dt)
+    return best * 1e3
+
+
 def main():
     import jax
 
@@ -338,6 +383,13 @@ def main():
             except Exception as e:   # keep the headline even if train
                 result[key] = None   # measurement fails
                 result[key + "_error"] = str(e)[:120]
+
+    if os.environ.get("GDM_BENCH_VSD", "1") != "0":
+        try:
+            result["vsd_ms_per_frame_batched"] = round(measure_vsd(), 2)
+        except Exception as e:
+            result["vsd_ms_per_frame_batched"] = None
+            result["vsd_error"] = str(e)[:120]
 
     print(json.dumps(result))
 

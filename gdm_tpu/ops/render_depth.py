@@ -34,7 +34,9 @@ import numpy as np
 
 
 def subdivide_max_edge(verts: np.ndarray, faces: np.ndarray,
-                       max_edge: float) -> tuple[np.ndarray, np.ndarray]:
+                       max_edge: float,
+                       max_faces: int = 4_000_000
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side 4-way loop subdivision until every edge is <= max_edge.
 
     One-time per-mesh preprocessing (numpy).  Each oversized triangle is
@@ -42,6 +44,11 @@ def subdivide_max_edge(verts: np.ndarray, faces: np.ndarray,
     are short enough.  Midpoints are NOT welded across faces — harmless
     for depth rendering (coincident geometry), and it keeps the pass a
     pure per-face map.
+
+    Raises ValueError once the face count would exceed `max_faces`: a
+    metre-scale max_edge applied to a millimetre-scale mesh quadruples
+    the face count ~10 extra times (4^10x) and looks like a hang —
+    fail fast with a units hint instead.
 
     Returns (verts [V',3] float32, faces [F',3] int32).
     """
@@ -53,6 +60,14 @@ def subdivide_max_edge(verts: np.ndarray, faces: np.ndarray,
         big = e.max(axis=1) > max_edge
         if not big.any():
             break
+        if len(faces) + 3 * int(big.sum()) > max_faces:
+            ext = float(np.abs(verts).max())
+            raise ValueError(
+                f"subdivide_max_edge: face count would exceed "
+                f"{max_faces} (now {len(faces)}, max edge "
+                f"{e.max():.3g} vs target {max_edge:.3g}). Mesh extent "
+                f"is {ext:.3g} — VSD expects metres; a ~1e3 extent "
+                f"suggests millimetre vertices (divide by 1000).")
         keep = faces[~big]
         t = tri[big]                                         # [B,3,3]
         m01 = 0.5 * (t[:, 0] + t[:, 1])

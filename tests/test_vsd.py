@@ -58,6 +58,14 @@ class TestSubdivide:
         v, f = subdivide_max_edge(verts, faces, 1.0)
         assert len(v) == 4 and len(f) == 2
 
+    def test_unit_mismatch_fails_fast(self):
+        # mm-scale vertices against a metre-scale edge bound would
+        # quadruple faces ~10 extra rounds and look like a hang; the
+        # face budget turns it into an immediate, explanatory error
+        verts, faces = square_mesh(half=200.0, z=1000.0)  # mm units
+        with pytest.raises(ValueError, match="millimetre"):
+            subdivide_max_edge(verts, faces, 0.008, max_faces=100_000)
+
 
 class TestRenderDepth:
     def test_flat_square_depth_and_coverage(self):
