@@ -17,3 +17,8 @@ from gdm_tpu.parallel.mesh import (
     all_gather_host,
     local_rows,
 )
+from gdm_tpu.parallel.sp import (
+    make_mesh_2d,
+    sharded_cosine_argmax,
+    sharded_matching_loss,
+)

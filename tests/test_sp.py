@@ -1,0 +1,102 @@
+"""Mesh-column (model-axis) sharding tests — parallel/sp.py.
+
+Runs on the 8-virtual-CPU-device platform (conftest): a (2, 4) and a
+(1, 8) (data, model) mesh.  The sharded correspondence argmax must equal
+jnp.argmax over the full similarity matrix exactly; the sharded matching
+loss and its gradients must match losses/matching.pointwise_matching_loss
+up to f32 reduction order.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gdm_tpu.losses.matching import pointwise_matching_loss
+from gdm_tpu.parallel import (
+    make_mesh_2d,
+    sharded_cosine_argmax,
+    sharded_matching_loss,
+)
+
+
+def _problem(b=4, n=96, c=32, mcols=128, seed=0):
+    rng = np.random.RandomState(seed)
+    rgbd = rng.randn(b, n, c).astype(np.float32)
+    meshf = rng.randn(mcols, c).astype(np.float32)
+    mesh_xyz = (rng.rand(mcols, 3).astype(np.float32) - 0.5) * 0.1
+    labels = (rng.rand(b, n) < 0.7).astype(np.int32)
+    match_idx = rng.randint(0, mcols + 1, size=(b, n)).astype(np.int32)
+    vis = (rng.rand(b, mcols) < 0.8).astype(np.int32)
+    return rgbd, meshf, mesh_xyz, labels, match_idx, vis
+
+
+def _place(mesh2d, rgbd, meshf, mesh_xyz, labels, match_idx, vis):
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh2d, spec))
+
+    return (put(rgbd, P("data")), put(meshf, P("model")),
+            put(mesh_xyz, P()), put(labels, P("data")),
+            put(match_idx, P("data")), put(vis, P("data", "model")))
+
+
+@pytest.mark.parametrize("data,model", [(2, 4), (1, 8)])
+def test_sharded_argmax_matches_global(data, model):
+    mesh2d = make_mesh_2d(jax.devices("cpu"), data=data, model=model)
+    rgbd, meshf, *_ = _problem(seed=1)
+    rgbd_s = jax.device_put(rgbd, NamedSharding(mesh2d, P("data")))
+    meshf_s = jax.device_put(meshf, NamedSharding(mesh2d, P("model")))
+
+    idx, score = sharded_cosine_argmax(rgbd_s, meshf_s, mesh2d)
+
+    f = rgbd / np.linalg.norm(rgbd, axis=-1, keepdims=True)
+    g = meshf / np.linalg.norm(meshf, axis=-1, keepdims=True)
+    sim = np.einsum("bnc,mc->bnm", f, g)
+    np.testing.assert_array_equal(np.asarray(idx), sim.argmax(-1))
+    np.testing.assert_allclose(np.asarray(score), sim.max(-1),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("data,model", [(2, 4), (1, 8)])
+def test_sharded_matching_loss_matches(data, model):
+    mesh2d = make_mesh_2d(jax.devices("cpu"), data=data, model=model)
+    args = _problem(seed=2)
+    rgbd, meshf, mesh_xyz, labels, match_idx, vis = args
+    positive_r = 0.04
+
+    ref = pointwise_matching_loss(
+        jnp.asarray(rgbd), jnp.asarray(meshf), jnp.asarray(mesh_xyz),
+        jnp.asarray(labels), jnp.asarray(match_idx), jnp.asarray(vis),
+        positive_r)
+    got = sharded_matching_loss(
+        *_place(mesh2d, *args), positive_r, mesh2d)
+    assert np.isfinite(float(ref))
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+
+
+def test_sharded_matching_loss_grads_match():
+    mesh2d = make_mesh_2d(jax.devices("cpu"), data=2, model=4)
+    args = _problem(b=2, n=64, c=16, mcols=64, seed=3)
+    rgbd, meshf, mesh_xyz, labels, match_idx, vis = args
+    positive_r = 0.04
+
+    def ref_loss(f, g):
+        return pointwise_matching_loss(
+            f, g, jnp.asarray(mesh_xyz), jnp.asarray(labels),
+            jnp.asarray(match_idx), jnp.asarray(vis), positive_r)
+
+    placed = _place(mesh2d, *args)
+
+    def sp_loss(f, g):
+        return sharded_matching_loss(
+            f, g, placed[2], placed[3], placed[4], placed[5],
+            positive_r, mesh2d)
+
+    gr_f, gr_g = jax.grad(ref_loss, argnums=(0, 1))(
+        jnp.asarray(rgbd), jnp.asarray(meshf))
+    gs_f, gs_g = jax.grad(sp_loss, argnums=(0, 1))(placed[0], placed[1])
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gr_f),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs_g), np.asarray(gr_g),
+                               rtol=1e-4, atol=1e-6)
