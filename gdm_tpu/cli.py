@@ -28,6 +28,21 @@ import time
 import numpy as np
 
 
+def _select_devices(args):
+    """Device list for the run: first --devices of the active platform
+    (None = all).  Mirrors the reference's --gpus (train_lm.py:78-82)."""
+    from gdm_tpu.parallel.mesh import default_devices
+
+    devs = default_devices()
+    n = getattr(args, "devices", None)
+    if n is not None:
+        if not 1 <= n <= len(devs):
+            raise SystemExit(
+                f"--devices {n} out of range (1..{len(devs)})")
+        devs = devs[:n]
+    return devs
+
+
 def _build_object_setup(cfg, refd, cls_id, data_root):
     """Mesh graph + diameter + names for one object."""
     from gdm_tpu.data.ply import load_fps_mesh
@@ -205,8 +220,8 @@ def train(args):
     cls_ids = (list(cfg.data.obj_ids) if args.cls_id == "all"
                else [int(args.cls_id)])
 
-    dev_mesh = make_mesh()
-    n_dev = len(jax.devices())
+    dev_mesh = make_mesh(_select_devices(args))
+    n_dev = dev_mesh.devices.size
     if batch_size % n_dev:
         raise SystemExit(
             f"batch {batch_size} not divisible by {n_dev} devices")
@@ -327,7 +342,7 @@ def evaluate(args):
     cfg = get_config(args.dataset, args.opt)
     refd = get_refdata(args.dataset)
     batch_size = args.batch_size or cfg.solver.val_batch_size
-    dev_mesh = make_mesh()
+    dev_mesh = make_mesh(_select_devices(args))
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
 
     obj_names, diameters, models_pts, sym_rots = [], {}, {}, {}
@@ -596,6 +611,11 @@ def build_parser():
         sp.add_argument("--num-workers", type=int, default=8)
         sp.add_argument("--knn-chunk", type=int, default=512)
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--devices", type=int, default=None,
+                        help="use only the first N local devices "
+                             "(reference --gpus, train_lm.py:78-82); "
+                             "default: all devices of the active "
+                             "platform")
         sp.add_argument("--multihost", action="store_true")
         sp.add_argument("--opt", action="append", default=[],
                         metavar="SECTION.FIELD=VALUE",

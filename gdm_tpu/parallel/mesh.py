@@ -7,9 +7,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def default_devices():
+    """Devices of the platform computation actually lands on.
+
+    `jax.devices()` returns the DEFAULT backend, which in this
+    environment can be a pre-registered TPU even when the process pinned
+    computation elsewhere via `jax_default_device` (tests pin the
+    8-virtual-device CPU platform).  Committing inputs to jax.devices()
+    would silently drag such a run onto the TPU — honour the pin.
+    """
+    dd = jax.config.jax_default_device
+    if dd is None:
+        return jax.devices()
+    platform = dd if isinstance(dd, str) else dd.platform
+    return jax.devices(platform)
+
+
 def make_mesh(devices=None, axis: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the given (or all) devices."""
-    devices = jax.devices() if devices is None else devices
+    """1-D data-parallel mesh over the given (or all default) devices."""
+    devices = default_devices() if devices is None else devices
     return Mesh(np.array(devices), (axis,))
 
 

@@ -39,6 +39,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 if jax.default_backend() != "cpu":
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+import pytest  # noqa: E402
+
 
 def cpu_devices():
     return jax.devices("cpu")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (compile-bound multi-minute e2e "
+             "paths); also enabled by GDM_RUN_SLOW=1")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute compile-bound e2e path, skipped unless "
+        "--runslow / GDM_RUN_SLOW=1 (fast run keeps a smaller e2e "
+        "representative of each path)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or \
+            os.environ.get("GDM_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: pass --runslow (or GDM_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

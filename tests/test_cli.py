@@ -57,6 +57,7 @@ def monkeypatch_module():
     mp.undo()
 
 
+@pytest.mark.slow
 def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     ckpt_root = str(tmp_path_factory.mktemp("ckpt"))
     out_dir = str(tmp_path_factory.mktemp("out"))
@@ -64,7 +65,7 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     state = cli.main([
         "train", "--dataset", "lmo", "--data-root", bop_root,
         "--ckpt-root", ckpt_root, "--cls-id", "1", "--epochs", "1",
-        "--batch-size", "2", "--num-workers", "2", "--knn-chunk", "64",
+        "--batch-size", "2", "--devices", "2", "--num-workers", "2", "--knn-chunk", "64",
     ])
     assert state is not None
     ckpt_dir = osp.join(ckpt_root, "checkpoints", "ape")
@@ -72,7 +73,7 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
 
     results = cli.main([
         "eval", "--dataset", "lmo", "--data-root", bop_root,
-        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2",
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2", "--devices", "2",
         "--num-workers", "2", "--knn-chunk", "64",
         "--output-dir", out_dir, "--vsd",
     ])
@@ -154,7 +155,7 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     results_t = cli.main([
         "eval", "--dataset", "lmo", "--data-root", bop_root,
         "--ckpt-root", str(tmp_path_factory.mktemp("ck_unused")),
-        "--cls-id", "1", "--batch-size", "2", "--num-workers", "2",
+        "--cls-id", "1", "--batch-size", "2", "--devices", "2", "--num-workers", "2",
         "--knn-chunk", "64",
         "--output-dir", str(tmp_path_factory.mktemp("out_t")),
         "--torch-checkpoint", tdir,
@@ -248,7 +249,7 @@ def test_eval_two_objects_shares_compile(monkeypatch_module, bop_root_2obj,
     results = cli.main([
         "eval", "--dataset", "lmo", "--data-root", bop_root_2obj,
         "--ckpt-root", str(tmp_path_factory.mktemp("ck2")),
-        "--batch-size", "2", "--num-workers", "2", "--knn-chunk", "64",
+        "--batch-size", "2", "--devices", "2", "--num-workers", "2", "--knn-chunk", "64",
         "--output-dir", str(tmp_path_factory.mktemp("out2")),
     ])
     assert set(results["recalls"].keys()) == {"ape", "benchvise"}
@@ -256,6 +257,7 @@ def test_eval_two_objects_shares_compile(monkeypatch_module, bop_root_2obj,
     assert len(results["errors"]["benchvise"]["ad"]) == 2
 
 
+@pytest.mark.slow
 def test_train_all_objects(monkeypatch_module, bop_root_2obj,
                            tmp_path_factory):
     """--cls-id all trains both objects sequentially with one shared
@@ -273,7 +275,7 @@ def test_train_all_objects(monkeypatch_module, bop_root_2obj,
     cli.main([
         "train", "--dataset", "lmo", "--data-root", bop_root_2obj,
         "--ckpt-root", ckpt_root, "--cls-id", "all", "--epochs", "1",
-        "--batch-size", "2", "--num-workers", "2", "--knn-chunk", "64",
+        "--batch-size", "2", "--devices", "2", "--num-workers", "2", "--knn-chunk", "64",
     ])
     for obj in ("ape", "benchvise"):
         assert osp.exists(
@@ -296,12 +298,12 @@ def test_train_then_eval_dgcnn(monkeypatch_module, bop_root,
     state = cli.main([
         "train", "--dataset", "lmo", "--data-root", bop_root,
         "--ckpt-root", ckpt_root, "--cls-id", "1", "--epochs", "1",
-        "--batch-size", "2", "--num-workers", "2",
+        "--batch-size", "2", "--devices", "2", "--num-workers", "2",
     ])
     assert state is not None
     results = cli.main([
         "eval", "--dataset", "lmo", "--data-root", bop_root,
-        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2",
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2", "--devices", "2",
         "--num-workers", "2",
         "--output-dir", str(tmp_path_factory.mktemp("out_dg")),
     ])

@@ -143,6 +143,7 @@ class TestGeoMatch:
             assert np.isfinite(v), k
         assert np.asarray(out["match_loss"]) > 0
 
+    @pytest.mark.slow
     def test_grads_flow(self):
         inputs = make_batch(with_gt=True)
         mesh = MeshArrays.from_graph(make_mesh())

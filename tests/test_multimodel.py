@@ -44,6 +44,7 @@ def setup():
     return model, meshes, variables, datas
 
 
+@pytest.mark.slow
 def test_stacked_matches_per_object(setup):
     import jax
     import jax.numpy as jnp

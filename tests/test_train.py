@@ -91,6 +91,7 @@ class TestSchedules:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_overfit_tiny(self, shared):
         state = shared.state0
         rng = jax.random.PRNGKey(7)
@@ -103,6 +104,7 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.7, losses
         assert int(state.step) == 12
 
+    @pytest.mark.slow
     def test_checkpoint_roundtrip(self, tmp_path, shared):
         state, _ = shared.step(shared.state0, shared.batch, shared.mesh,
                                jax.random.PRNGKey(7))
@@ -124,6 +126,7 @@ class TestTrainStep:
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_sharded_train_step_8dev(self, shared):
         devices = jax.devices("cpu")
         assert len(devices) == 8
