@@ -49,8 +49,10 @@ def fit_pose_single(
       mesh_features: [M, C]; rgbd_features: [N, C]; mesh_xyz: [M, 3].
       det:  scalar 0/1 — detection success flag.
       use_pallas: route the similarity argmax through the streaming
-        Pallas kernel (O(tile) memory; XLA's fused matmul+argmax is
-        comparable at N=M=4096, the kernel wins as N*M grows).
+        Pallas kernel (O(tile) VMEM).  Measured SLOWER than XLA's fused
+        matmul+argmax at every production shape (ops/pallas/similarity
+        module docstring) — keep False unless bounding memory matters
+        more than speed.
 
     Returns:
       ([3, 4] pose, [N] correspondence weights, [N] matched vertex ids)
