@@ -16,9 +16,14 @@ import os.path as osp
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# the in-process CPU communicator hard-ABORTS the whole process when a
+# collective rendezvous misses its window (default 40 s) — routine for
+# the BN-sync-heavy train step time-sliced over 8 virtual devices on
+# this single-core box (verified: 3/3 aborts at 40 s, clean pass raised)
+if "collective_timeout" not in flags:
+    flags += " --xla_cpu_collective_timeout_seconds=3000"
+os.environ["XLA_FLAGS"] = flags.strip()
 # the persistent-cache AOT loader logs a spurious ERROR per hit about the
 # XLA-internal prefer-no-scatter/gather pseudo-features "not supported on
 # the host"; silence C++ logging in tests (python exceptions still raise)

@@ -70,6 +70,21 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     assert state is not None
     ckpt_dir = osp.join(ckpt_root, "checkpoints", "ape")
     assert osp.exists(osp.join(ckpt_dir, "latest"))
+    with open(osp.join(ckpt_dir, "latest")) as f:
+        assert f.read().strip() == "epoch_0000"
+
+    # --resume picks up from the latest checkpoint (train_lm.py:118-146
+    # parity): asking for 2 epochs after 1 is done trains exactly one
+    # more and advances the latest pointer
+    state = cli.main([
+        "train", "--dataset", "lmo", "--data-root", bop_root,
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--epochs", "2",
+        "--batch-size", "2", "--devices", "2", "--num-workers", "2",
+        "--knn-chunk", "64", "--resume",
+    ])
+    assert osp.exists(osp.join(ckpt_dir, "epoch_0001"))
+    with open(osp.join(ckpt_dir, "latest")) as f:
+        assert f.read().strip() == "epoch_0001"
 
     results = cli.main([
         "eval", "--dataset", "lmo", "--data-root", bop_root,

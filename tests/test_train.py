@@ -6,6 +6,8 @@ compiled train step / initialised state does (module-scoped fixture);
 TrainState is immutable, so sharing is safe.
 """
 
+import os
+import os.path as osp
 from types import SimpleNamespace
 
 import numpy as np
@@ -18,7 +20,6 @@ from gdm_tpu.data.synthetic import make_batch, make_object
 from gdm_tpu.models import GeoMatch
 from gdm_tpu.models.geomatch import MeshArrays
 from gdm_tpu.models.spline_mesh import build_mesh_graph
-from gdm_tpu.parallel import make_mesh, replicate, shard_batch
 from gdm_tpu.train import (
     bn_momentum_schedule,
     create_train_state,
@@ -127,33 +128,65 @@ class TestTrainStep:
 
 class TestDataParallel:
     @pytest.mark.slow
-    def test_sharded_train_step_8dev(self, shared):
-        devices = jax.devices("cpu")
-        assert len(devices) == 8
-        dp_mesh = make_mesh(devices)
-        mesh, batch = small_problem(batch=8)
-        batch = shard_batch({k: np.asarray(v) for k, v in batch.items()},
-                            dp_mesh)
-        mesh_r = replicate(mesh, dp_mesh)
+    def test_sharded_train_step_8dev(self):
+        """The driver-facing 8-device DP dryrun (one FULL train step over
+        a Mesh('data'), SyncBN via GSPMD) must run AND reproduce the
+        single-device loss on the same inputs/init.
 
-        state = create_train_state(
-            shared.model, jax.random.PRNGKey(0), _inputs(batch), mesh_r,
-            cyclic_lr(1e-4, 1e-3, 100))
-        state_sharded = state.replace(
-            params=replicate(state.params, dp_mesh),
-            batch_stats=replicate(state.batch_stats, dp_mesh),
-            opt_state=replicate(state.opt_state, dp_mesh),
-        )
-        state2, metrics = shared.step(state_sharded, batch, mesh_r,
-                                      jax.random.PRNGKey(7))
-        assert np.isfinite(float(metrics["loss"]))
+        The sharded step executes in a SUBPROCESS: XLA's in-process CPU
+        communicator hard-ABORTS the whole process (SIGABRT) when a
+        collective rendezvous misses its timeout window — with the
+        default 40 s that happened routinely for ~100 BN-sync
+        collectives time-sliced over 8 virtual devices on this box's
+        single core.  `--xla_cpu_collective_timeout_seconds` (conftest /
+        `_dryrun_devices`) makes a pass the norm; subprocess isolation
+        keeps a residual abort from killing pytest, with two retries and
+        a skip only on repeated aborts (an rc=1 python failure still
+        fails the test).
+        """
+        import re
+        import subprocess
+        import sys
+
+        repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+        sharded_loss = None
+        for attempt in range(3):
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import __graft_entry__ as g; g.dryrun_dp(8)"],
+                cwd=repo, env=dict(os.environ), timeout=2400,
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                m = re.search(r"dp loss=([-\d.naif]+) ok", r.stdout)
+                assert m, r.stdout
+                sharded_loss = float(m.group(1))
+                break
+            assert r.returncode == -6, (
+                f"dryrun_dp failed rc={r.returncode}\n"
+                f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        if sharded_loss is None:
+            pytest.skip("8-way rendezvous aborted 3x (single-core "
+                        "in-process CPU communicator scheduling)")
 
         # parity vs single-device on identical inputs and identical init
-        # (same PRNGKey): the sharded step must produce the same loss
-        # (global batch stats == SyncBN)
-        host_batch = {k: np.asarray(v) for k, v in batch.items()}
-        host_mesh = jax.tree_util.tree_map(np.asarray, mesh)
-        _, m_single = shared.step(state, host_batch, host_mesh,
-                                  jax.random.PRNGKey(7))
-        assert float(metrics["loss"]) == pytest.approx(
-            float(m_single["loss"]), rel=2e-4)
+        # (same PRNGKeys as dryrun_dp): SyncBN-through-GSPMD means the
+        # sharded loss equals the single-device loss on the full batch
+        import __graft_entry__ as ge
+
+        mesh, batch = ge._build_problem(batch=8)
+        model = GeoMatch(positive_r=0.01)
+        inputs = assemble_inputs(
+            batch["rgb"], batch["cld_rgb_nrm"], batch["choose"],
+            batch["xyz_img"], labels=batch["labels"],
+            match_idx=batch["match_idx"],
+            visible_flag=batch["visible_flag"], RT=batch["RT"],
+            knn_chunk=128)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), inputs, mesh,
+            cyclic_lr(1e-6, 1e-3, 100))
+        step = make_train_step(bn_momentum_schedule(), knn_chunk=128,
+                               donate=False)
+        _, m_single = step(state, batch, mesh, jax.random.PRNGKey(1))
+        # dryrun_dp prints 4 decimals -> abs tolerance 1e-4 on top
+        assert sharded_loss == pytest.approx(
+            float(m_single["loss"]), rel=2e-4, abs=1e-4)
