@@ -43,9 +43,11 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk", "approx",
+                                    "recall_target"))
 def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512,
-        approx: bool = False):
+        approx: bool = False, recall_target: float = 0.95):
     """Indices (into `support`) of the k nearest support points per query.
 
     Matches the contract of the reference ``DP.knn_search`` (sorted by
@@ -58,11 +60,15 @@ def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512,
       k:       number of neighbours.
       chunk:   query chunk size bounding peak memory at chunk*n floats.
       approx:  use ``lax.approx_max_k`` (the TPU-native partial-reduction
-        top-k, ~7x faster than exact top-k at n=4096) with 0.95 recall.
-        Right for neighbour *aggregation* consumers (RandLA pooling,
-        fusion gathers) where a 17th-nearest standing in for the 16th is
+        top-k, ~7x faster than exact top-k at n=4096).  Right for
+        neighbour *aggregation* consumers (RandLA pooling, fusion
+        gathers) where a 17th-nearest standing in for the 16th is
         immaterial; keep exact for metric paths.  k == 1 is always exact
         (argmin — cheaper than any top-k).
+      recall_target: approx-mode recall lower bound (sets the kernel's
+        reduction shape).  Measured on the v5e at [8,4096,4096] k=16:
+        0.95 -> 6.6 ms (0.99 actual recall), 0.85 -> 4.7 ms (0.95
+        actual); exact top_k is 75 ms on the same shape.
 
     Returns:
       idx: [m, k] int32 indices into support.
@@ -80,7 +86,8 @@ def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512,
         if k_eff == 1:
             idx = jnp.argmin(d, axis=-1)[:, None]
         elif approx:
-            _, idx = jax.lax.approx_max_k(-d, k_eff)
+            _, idx = jax.lax.approx_max_k(-d, k_eff,
+                                          recall_target=recall_target)
         else:
             _, idx = jax.lax.top_k(-d, k_eff)             # ascending dist
         return idx.astype(jnp.int32)
