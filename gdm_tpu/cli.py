@@ -29,17 +29,25 @@ import numpy as np
 
 
 def _select_devices(args):
-    """Device list for the run: first --devices of the active platform
-    (None = all).  Mirrors the reference's --gpus (train_lm.py:78-82)."""
+    """Device list for the run: first --devices PER PROCESS of the
+    active platform (None = all).  Mirrors the reference's per-node
+    --gpus (train_lm.py:78-82).  On a multi-process run the limit
+    applies host-by-host (a jax Mesh must contain devices from every
+    process, so slicing the global list would leave non-zero hosts
+    without addressable devices)."""
     from gdm_tpu.parallel.mesh import default_devices
 
     devs = default_devices()
     n = getattr(args, "devices", None)
     if n is not None:
-        if not 1 <= n <= len(devs):
+        by_proc = {}
+        for d in devs:
+            by_proc.setdefault(d.process_index, []).append(d)
+        n_min = min(len(v) for v in by_proc.values())
+        if not 1 <= n <= n_min:
             raise SystemExit(
-                f"--devices {n} out of range (1..{len(devs)})")
-        devs = devs[:n]
+                f"--devices {n} out of range (1..{n_min} per process)")
+        devs = [d for p in sorted(by_proc) for d in by_proc[p][:n]]
     return devs
 
 

@@ -142,7 +142,7 @@ class Evaluator:
             cur_preds = self._predictions[obj_name]
             rec = {m: [] for m in METRIC_NAMES}
             err = {e: [] for e in ("ad", "re", "te", "proj",
-                                   "mssd", "mspd")}
+                                   "mssd", "mspd", "mspd_640")}
             syms = self.sym_transforms.get(obj_name)
             diameter = self.diameters[obj_name]
             pts = self.models_pts[obj_name]
@@ -217,6 +217,10 @@ class Evaluator:
                 err["mssd"].append(mssd_e)
                 err["mspd"].append(mspd_e)
                 im_w = float(gt.get("im_w", self.im_w))
+                # 640-width-normalised mspd stored per frame so AR_MSPD
+                # honours per-frame image widths exactly like mspd_10
+                # (pose_error.py mspd normalises by width per image)
+                err["mspd_640"].append(mspd_e * 640.0 / im_w)
                 rec["mssd_0.2"].append(float(mssd_e / diameter < 0.2))
                 rec["mspd_10"].append(
                     float(mspd_e * 640.0 / im_w < 10.0))
@@ -302,7 +306,7 @@ class Evaluator:
         out["ar_mssd"] = float(np.mean(
             [(mssd < th).mean() for th in BOP19_MSSD_THS])) \
             if mssd.size else 0.0
-        mspd = np.asarray(err["mspd"], np.float64) * 640.0 / self.im_w
+        mspd = np.asarray(err["mspd_640"], np.float64)
         out["ar_mspd"] = float(np.mean(
             [(mspd < th).mean() for th in BOP19_MSPD_THS])) \
             if mspd.size else 0.0

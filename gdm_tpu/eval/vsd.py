@@ -177,10 +177,6 @@ def _vsd_one(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
     return jnp.stack([err_for_tau(taus[i]) for i in range(n_taus)])
 
 
-_vsd_core = functools.partial(jax.jit, static_argnames=(
-    "window", "tile", "n_taus", "cost_type",
-    "normalized_by_diameter"))(_vsd_one)
-
 @functools.partial(jax.jit, static_argnames=(
     "window", "tile", "n_taus", "cost_type", "normalized_by_diameter"))
 def _vsd_core_batch(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,

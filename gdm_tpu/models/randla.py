@@ -156,7 +156,13 @@ class BuildingBlock(nn.Module):
         # width-bound (C=3: 4.9 ms, C=35: 3.5 ms; 3-wide + 32-wide pair
         # 4.9 ms vs 2.5 ms fused, 2026-08-18) — the (8,128) layout pads
         # narrow rows to full lanes either way.  Numerics are unchanged
-        # (the gather is exact; feats round-trips through f32 losslessly).
+        # (the gather is exact; feats round-trip through f32 losslessly).
+        # Under compute_dtype=bfloat16 the f32 concat widens this one
+        # gather's cotangent to f32, but the bwd one-hot contraction is
+        # row-count bound too: bf16 train throughput measured unchanged
+        # (122.2 vs 123 samples/s at b=24).  Do NOT cast xyz to bf16
+        # instead — neighbour deltas of ~1 mm on ~0.1 m coordinates
+        # would lose ~40% relative accuracy to bf16 rounding.
         both = gather_neighbours_b(
             jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1),
             neigh_idx)

@@ -134,7 +134,13 @@ def labelstat_ballrange(
     """
     d2 = pairwise_sqdist(centers, xyz)                    # [m, n]
     in_ball = (d2 <= radius * radius).astype(jnp.float32)
-    out = in_ball @ label_stat.astype(jnp.float32)
+    # HIGHEST: TPU matmuls default to bf16 multiply, which cannot
+    # represent counts > 256 exactly — histogram totals must be exact
+    out = jax.lax.dot_general(
+        in_ball, label_stat.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     return jnp.round(out).astype(jnp.int32)
 
 

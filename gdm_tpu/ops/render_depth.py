@@ -126,6 +126,8 @@ def render_depth_window(
       [h, w] float32 depth (z, metres); 0 where no surface.
     """
     h, w = window
+    if faces.shape[0] == 0:                  # empty mesh: no surface
+        return jnp.zeros((h, w), jnp.float32)
     s = tile * tile
     eps = 1e-9
     z = verts_cam[:, 2]

@@ -91,6 +91,16 @@ def local_rows(arr) -> np.ndarray:
                     key=lambda s: s.index[0].start or 0)
     if len(shards) == len(arr.sharding.device_set):
         return np.asarray(arr)          # fully local
+    # the caller books per-row predictions against its loader's sample
+    # order — that mapping only holds if the local shards cover disjoint
+    # row ranges.  A replicated array (e.g. GSPMD propagated away the
+    # batch sharding) would silently duplicate every row otherwise.
+    starts = [s.index[0].start or 0 for s in shards]
+    if len(set(starts)) != len(starts):
+        raise ValueError(
+            "local_rows: array is not batch-sharded across processes "
+            f"(duplicate shard row-starts {starts}); pin the output "
+            "sharding to PartitionSpec('data') before fetching")
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

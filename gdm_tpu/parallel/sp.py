@@ -40,10 +40,16 @@ _I32_MAX = jnp.iinfo(jnp.int32).max
 
 def make_mesh_2d(devices=None, data: int | None = None,
                  model: int = 1) -> Mesh:
-    """(data, model) mesh; `data` defaults to n_devices // model."""
+    """(data, model) mesh; `data` defaults to n_devices // model.
+
+    Like make_mesh, the default device list honours a
+    ``jax_default_device`` pin (default_devices) so CPU-pinned tests and
+    dryruns never land on the tunneled TPU chip."""
     import numpy as np
 
-    devices = jax.devices() if devices is None else list(devices)
+    from gdm_tpu.parallel.mesh import default_devices
+
+    devices = default_devices() if devices is None else list(devices)
     if data is None:
         data = len(devices) // model
     assert data * model == len(devices), (data, model, len(devices))

@@ -91,6 +91,14 @@ def main():
     np.testing.assert_array_equal(local_rows(sharded["x"]),
                                   np.asarray(batch["x"]))
 
+    # a REPLICATED cross-process array must be rejected, not silently
+    # returned with every row duplicated per local device
+    try:
+        local_rows(w)
+        raise AssertionError("local_rows accepted a replicated array")
+    except ValueError:
+        pass
+
     print("W: stepping", flush=True)
     w2, l0 = step(w, sharded)
     w2_host = np.asarray(jax.device_get(w2))

@@ -108,6 +108,33 @@ class TestBop19:
         r_640 = ev2.evaluate(gts)["bop19_ar"][obj]["ar_mspd"]
         assert r_wide >= r_640
 
+    def test_mspd_ar_honours_per_frame_im_width(self):
+        # frames carry their own im_w: AR_MSPD must normalise each frame
+        # by ITS width (like the mspd_10 recall), not the constructor
+        # default — a wide frame's error shrinks by 640/1280
+        obj = "ape"
+        ev, gts = _make(2, im_w=640)
+        for fn in gts[obj]:
+            gts[obj][fn]["im_w"] = 1280.0
+            ev.add_prediction(obj, fn, rot_z(20), [0, 0, 1.0])
+        r_frames_wide = ev.evaluate(gts)["bop19_ar"][obj]["ar_mspd"]
+
+        ev2, gts2 = _make(2, im_w=640)   # same error, 640-wide frames
+        for fn in gts2[obj]:
+            ev2.add_prediction(obj, fn, rot_z(20), [0, 0, 1.0])
+        r_frames_640 = ev2.evaluate(gts2)["bop19_ar"][obj]["ar_mspd"]
+
+        ev3, gts3 = _make(2, im_w=1280)  # constructor-wide = frame-wide
+        for fn in gts3[obj]:
+            ev3.add_prediction(obj, fn, rot_z(20), [0, 0, 1.0])
+        r_ctor_wide = ev3.evaluate(gts3)["bop19_ar"][obj]["ar_mspd"]
+
+        assert r_frames_wide == pytest.approx(r_ctor_wide)
+        assert r_frames_wide >= r_frames_640
+        # the rotation is chosen so the two disagree (errors near the
+        # threshold grid); guard the test against both saturating
+        assert (r_frames_wide, r_frames_640) != (1.0, 1.0)
+
 
 class TestAliasing:
     def test_metadata_dicts_alias_caller(self):

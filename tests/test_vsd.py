@@ -143,6 +143,15 @@ class TestRenderDepth:
                                 window=(480, 640), tile=16)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_empty_face_array_renders_nothing(self):
+        import jax.numpy as jnp
+        verts, _ = square_mesh(half=0.05, z=1.0)
+        d = render_depth_window(
+            jnp.asarray(verts), jnp.zeros((0, 3), np.int32),
+            jnp.asarray(K), jnp.zeros(2, np.float32),
+            window=(64, 64), tile=16)
+        assert d.shape == (64, 64) and float(jnp.max(d)) == 0.0
+
 
 def _gt_depth(verts, faces, hw=(480, 640)):
     return render_full(verts, faces, K, hw=hw, max_edge=0.02)
