@@ -299,6 +299,13 @@ def measure_vsd(n_frames=16, reps=2, seed=3):
 
     hull = ConvexHull(verts)
     faces = hull.simplices.astype(np.int32)
+    # orient faces outward (hull.simplices has arbitrary winding; BOP
+    # meshes are consistently wound, and the VSD renderer backface-culls
+    # only when the winding-consistency check passes)
+    tri = verts[faces]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    flip = np.einsum("ij,ij->i", nrm, hull.equations[:, :3]) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
     verts = verts.astype(np.float32)
     K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
                  np.float32)

@@ -30,7 +30,12 @@ BOP19_DELTA = 0.015          # 15 mm (eval_calc_errors.py:37-48)
 BOP19_CORRECT_TH = (0.3,)    # eval_calc_scores.py:18
 
 _WINDOW_BUCKETS = (64, 128, 256, 512, 1024)
-_FACE_BUCKET_MIN = 1024
+# 512-face buckets + raster chunks (measured on chip 2026-08-18, 16-frame
+# sphere workload at tile=32: 39 -> 31 ms/frame vs 1024): finer buckets
+# waste less padding on post-cull face counts and the smaller scan-step
+# temporaries schedule better
+_FACE_BUCKET_MIN = 512
+_FACE_CHUNK = 512
 
 # per-mesh subdivision cache: the raster tile bounds screen-space triangle
 # size, so the required 3-D edge bound depends on how close the object can
@@ -64,9 +69,65 @@ def _z_bucket(z_min: float) -> float:
     return float(max(0.125, 1.25 ** np.floor(np.log(zq) / np.log(1.25))))
 
 
+def _winding_orientation(verts: np.ndarray, faces: np.ndarray):
+    """+1/-1 if `faces` are a consistently wound closed 2-manifold
+    (sign = direction of the signed volume, i.e. whether the winding is
+    outward), else None.
+
+    Consistent winding on a closed manifold means every undirected edge
+    appears in exactly two faces with OPPOSITE directions — checked via
+    directed-edge multisets.  Only such meshes can be backface-culled
+    exactly (a front face always occludes the back surface along every
+    ray); open sheets or mixed-winding meshes return None and are
+    rendered two-sided.
+    """
+    f = np.asarray(faces, np.int64)
+    if len(f) == 0:
+        return None
+    nv = int(f.max()) + 1
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    fwd = e[:, 0] * nv + e[:, 1]
+    if np.unique(fwd).size != fwd.size:      # duplicated directed edge
+        return None
+    rev = e[:, 1] * nv + e[:, 0]
+    if not np.array_equal(np.sort(fwd), np.sort(rev)):
+        return None                          # boundary / non-manifold
+    v = np.asarray(verts, np.float64)
+    vol6 = np.einsum("ij,ij->i", v[f[:, 0]],
+                     np.cross(v[f[:, 1]], v[f[:, 2]])).sum()
+    if abs(vol6) < 1e-18:
+        return None
+    return 1.0 if vol6 > 0 else -1.0
+
+
+def _face_bucket(n: int) -> int:
+    """Smallest _FACE_BUCKET_MIN * {2^k, 3*2^(k-1)} >= n.
+
+    Two buckets per octave instead of pow2: cuts the worst padding waste
+    from 2x to 1.5x (average ~1.2x) while keeping the number of distinct
+    scan lengths — i.e. distinct _vsd_core_batch executables paying a
+    remote compile — to a handful per workload.  Every bucket is a
+    multiple of the 1024-face raster chunk, so the renderer's own chunk
+    padding adds nothing on top.
+    """
+    m = 1
+    while _FACE_BUCKET_MIN * m < n:
+        if m == 1:
+            m = 2
+        elif (m & (m - 1)) == 0:        # power of two -> 1.5x
+            m = 3 * m // 2
+        else:                            # 3*2^(k-1)   -> 4/3x
+            m = 4 * m // 3
+    return _FACE_BUCKET_MIN * m
+
+
 def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
                    z_min: float, tile: int, ray_factor: float):
-    """Subdivide (cached) so every triangle fits the raster tile at z_min."""
+    """Subdivide (cached) so every triangle fits the raster tile at z_min.
+
+    Returns (verts_np [Vb,3] pow2-padded, faces_np [F,3] unpadded,
+    dev_verts, orient): faces stay host-side because the batched path
+    culls and compacts them per frame/pose before upload."""
     import zlib
 
     fx = float(max(K[0, 0], K[1, 1]))
@@ -80,19 +141,18 @@ def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
     if key not in _MESH_CACHE:
         from gdm_tpu.ops.render_depth import subdivide_max_edge
 
+        # winding consistency is a property of the ORIGINAL mesh (the
+        # subdivision splits faces in place, preserving each parent's
+        # orientation, but leaves midpoints unwelded — the directed-edge
+        # check must run before subdividing)
+        orient = _winding_orientation(verts, faces)
         # screen extent of a 3-D edge e at depth >= zb is bounded by
         # fx * e / zb * rf with rf = 1 + max(|x/z|,|y/z|) over the
         # clipped window (see _ray_angle_factor); the raster tile covers
         # bboxes up to tile-2 pixels (centre sampling)
         max_edge = (tile - 2) * zb / (fx * rf)
         v, f = subdivide_max_edge(verts, faces, max_edge)
-        nf = len(f)
-        fb = _FACE_BUCKET_MIN
-        while fb < nf:
-            fb *= 2
-        fp = np.zeros((fb, 3), np.int32)
-        fp[:nf] = f
-        # pad the vertex count to a power of two as well: otherwise every
+        # pad the vertex count to a power of two: otherwise every
         # z bucket's subdivision yields a distinct vertex-array shape and
         # therefore a distinct _vsd_core_batch executable — through the
         # remote compile helper those recompiles dominated batched VSD
@@ -102,10 +162,43 @@ def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
             vb *= 2
         v = np.concatenate(
             [v, np.zeros((vb - len(v), 3), np.float32)], axis=0)
-        # device-resident: the mesh is re-used for every frame of the
-        # object; re-uploading ~MBs per call through the tunnel is waste
-        _MESH_CACHE[key] = (jnp.asarray(v), jnp.asarray(fp))
+        # verts device-resident: re-used for every frame of the object;
+        # re-uploading ~MBs per call through the tunnel is waste
+        _MESH_CACHE[key] = (v, f.astype(np.int32), jnp.asarray(v), orient)
     return _MESH_CACHE[key]
+
+
+def _visible_face_idx(v_sub, f_sub, orient, R, t, K, origin, side, tile):
+    """Indices of subdivided faces that can contribute to this render.
+
+    Always culls faces whose raster stamp cannot intersect the window or
+    that the device would drop anyway (behind camera, zero screen area).
+    When `orient` is set (consistently wound closed mesh) also culls
+    backfaces: with outward winding (orient=+1) a camera-facing triangle
+    projects with NEGATIVE signed area in y-down image coordinates, and
+    on a closed manifold the front surface always occludes the back, so
+    dropping backfaces cannot change the z-buffer minimum.  Mirrors the
+    validity logic of ops/render_depth.render_depth_window.
+    """
+    eps = 1e-9
+    vc = v_sub @ R.T + t[None, :]
+    z = vc[:, 2]
+    zs = np.maximum(z, eps)
+    u = vc[:, 0] * K[0, 0] / zs + K[0, 2] - origin[0]
+    w = vc[:, 1] * K[1, 1] / zs + K[1, 2] - origin[1]
+    p = np.stack([u, w], axis=1)[f_sub]                     # [F,3,2]
+    fz = z[f_sub]
+    vis = (fz > eps).all(axis=1)                            # device 'front'
+    d01 = p[:, 1] - p[:, 0]
+    d02 = p[:, 2] - p[:, 0]
+    area = d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0]
+    vis &= np.abs(area) > eps                               # device 'ok'
+    if orient is not None:
+        vis &= (area * orient) < 0
+    bb0 = np.floor(p.min(axis=1))                           # stamp anchor
+    vis &= ((bb0[:, 0] + tile > 0) & (bb0[:, 0] < side)
+            & (bb0[:, 1] + tile > 0) & (bb0[:, 1] < side))
+    return np.where(vis)[0]
 
 
 def _dist_factor(origin, window, K):
@@ -127,10 +220,13 @@ def _vsd_one(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
     v_est = verts @ R_est.T + t_est[None, :]
     v_gt = verts @ R_gt.T + t_gt[None, :]
     # one vmapped rasterization: XLA batches the two scatter-min z-buffers
-    # into a single kernel instead of two dispatches
+    # into a single kernel instead of two dispatches.  `faces` is [2,F,3]
+    # — per-render culled/compacted face lists (zero rows = degenerate
+    # padding the rasterizer skips)
     d_est, d_gt = jax.vmap(
-        lambda v: render_depth_window(v, faces, K, origin, window, tile)
-    )(jnp.stack([v_est, v_gt]))
+        lambda v, f: render_depth_window(v, f, K, origin, window, tile,
+                                         face_chunk=_FACE_CHUNK)
+    )(jnp.stack([v_est, v_gt]), faces)
 
     # zero model depth beyond the full image bounds (a full-frame render
     # has no such pixels)
@@ -183,18 +279,21 @@ def _vsd_core_batch(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
                     depth_wins, im_hw, taus, delta, diameter,
                     window=(256, 256), tile=16, n_taus=10,
                     cost_type="step", normalized_by_diameter=True):
-    """Batched core: vmap over (poses, origin, depth window) with the
-    mesh/K/taus shared — one compile per (window, tile) serves every
-    frame group of every object, and the per-frame scatter-min z-buffers
-    batch into a single dispatch instead of one launch per frame."""
+    """Batched core: vmap over (poses, faces, origin, depth window) with
+    the mesh verts/K/taus shared — one compile per (window, tile, face
+    bucket) serves every frame group of every object, and the per-frame
+    scatter-min z-buffers batch into a single dispatch instead of one
+    launch per frame.  `faces` is [B, 2, Fb, 3]: per-frame, per-render
+    culled face lists (see _visible_face_idx)."""
 
-    def one(R_e, t_e, R_g, t_g, o, d):
-        return _vsd_one(verts, faces, R_e, t_e, R_g, t_g, K, o, d,
+    def one(f, R_e, t_e, R_g, t_g, o, d):
+        return _vsd_one(verts, f, R_e, t_e, R_g, t_g, K, o, d,
                         im_hw, taus, delta, diameter, window=window,
                         tile=tile, n_taus=n_taus, cost_type=cost_type,
                         normalized_by_diameter=normalized_by_diameter)
 
-    return jax.vmap(one)(R_est, t_est, R_gt, t_gt, origin, depth_wins)
+    return jax.vmap(one)(faces, R_est, t_est, R_gt, t_gt, origin,
+                         depth_wins)
 
 
 def _bucket(v, buckets):
@@ -214,7 +313,7 @@ def _bucket(v, buckets):
 def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
             diameter, delta=BOP19_DELTA, taus=BOP19_TAUS,
             normalized_by_diameter=True, cost_type="step",
-            tile=16) -> np.ndarray:
+            tile=32) -> np.ndarray:
     """VSD errors, one per tau (pose_error.py:22-129 semantics).
 
     Args:
@@ -224,6 +323,11 @@ def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
       verts/faces: render mesh (metres, object frame).  Subdivision to
         the raster-tile bound happens internally (cached per mesh and
         distance bucket) — pass the mesh as loaded.
+      tile: raster stamp size.  Total scatter work scales with
+        (tile/(tile-2))^2, so LARGER tiles do strictly less z-buffer
+        work; 32 measured 1.4x faster than 16 on chip with sub-0.005
+        metric drift (FP boundary flips of the step cost).  Changing it
+        recompiles and re-subdivides.
 
     Returns: [len(taus)] float errors in [0, 1].
     """
@@ -295,22 +399,36 @@ def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
     call.
 
     The batch is padded to a power of two (repeating the last job) so
-    remainder groups reuse compiles instead of specialising per size."""
+    remainder groups reuse compiles instead of specialising per size.
+    Faces are culled and compacted per frame and per render (backfaces
+    on consistently wound closed meshes, stamps that miss the window on
+    any mesh) — the scatter-min z-buffer updates are THE batched-VSD
+    cost and scale linearly with the face bucket, so halving the live
+    faces halves the wall time; mode=drop padding rows cost as much as
+    live ones, which is why compaction (not masking) is required."""
     n = len(jobs)
     side = jobs[0]["side"]
     Knp = jobs[0]["K"]
     imh, imw = jobs[0]["im_hw"]
-    verts_s, faces_p = _prepared_mesh(
+    v_np, f_np, verts_dev, orient = _prepared_mesh(
         verts, faces, Knp, min(j["z_min"] for j in jobs), tile,
         _ray_angle_factor(Knp, (imh, imw), jobs[0]["margin"]))
     nb = 1
     while nb < n:
         nb *= 2
     jobs = jobs + [jobs[-1]] * (nb - n)
+    vis = [[_visible_face_idx(v_np, f_np, orient, j[f"R_{k}"],
+                              j[f"t_{k}"], Knp, j["origin"], side, tile)
+            for k in ("est", "gt")] for j in jobs]
+    fb = _face_bucket(max(max(len(a), len(b)) for a, b in vis))
+    faces_lanes = np.zeros((nb, 2, fb, 3), np.int32)
+    for i, (ia, ib) in enumerate(vis):
+        faces_lanes[i, 0, :len(ia)] = f_np[ia]
+        faces_lanes[i, 1, :len(ib)] = f_np[ib]
     stack = {k: jnp.asarray(np.stack([j[k] for j in jobs]))
              for k in ("R_est", "t_est", "R_gt", "t_gt", "origin", "win")}
     errs = _vsd_core_batch(
-        verts_s, faces_p,
+        verts_dev, jnp.asarray(faces_lanes),
         stack["R_est"], stack["t_est"], stack["R_gt"], stack["t_gt"],
         jnp.asarray(Knp), stack["origin"], stack["win"],
         jnp.asarray(jobs[0]["im_hw"]),
@@ -326,7 +444,7 @@ def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
 def vsd_err_batch(poses, depth_tests, K, verts, faces, diameter,
                   delta=BOP19_DELTA, taus=BOP19_TAUS,
                   normalized_by_diameter=True, cost_type="step",
-                  tile=16, group_cap=64) -> np.ndarray:
+                  tile=32, group_cap=64) -> np.ndarray:
     """VSD errors for many frames of one object: [n, len(taus)].
 
     Frames are grouped by (window bucket, subdivision z bucket) and each

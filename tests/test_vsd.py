@@ -345,3 +345,112 @@ class TestWindowAndSubdivisionBounds:
         # 1.75 would have under-subdivided here)
         Kw = np.array([[250.0, 0, 320], [0, 250.0, 240], [0, 0, 1]])
         assert _ray_angle_factor(Kw, (480, 640), 18.0) > 2.0
+
+
+class TestBackfaceCull:
+    """Per-frame face culling/compaction (the batched-VSD scatter cost is
+    linear in the face bucket; backfaces on closed meshes and stamps that
+    miss the window are dropped exactly)."""
+
+    def _sphere(self, n=200, r=0.05, seed=0):
+        from scipy.spatial import ConvexHull
+
+        rng = np.random.RandomState(seed)
+        p = rng.randn(n, 3).astype(np.float32)
+        verts = r * p / np.linalg.norm(p, axis=1, keepdims=True)
+        hull = ConvexHull(verts)
+        faces = hull.simplices.astype(np.int32)
+        tri = verts[faces]
+        nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        flip = np.einsum("ij,ij->i", nrm, hull.equations[:, :3]) < 0
+        faces[flip] = faces[flip][:, [0, 2, 1]]
+        return verts, faces
+
+    def test_winding_orientation(self):
+        from gdm_tpu.eval.vsd import _winding_orientation
+
+        verts, faces = self._sphere()
+        assert _winding_orientation(verts, faces) == 1.0
+        # all flipped: consistent but inward
+        assert _winding_orientation(verts, faces[:, [0, 2, 1]]) == -1.0
+        # one flipped face: inconsistent -> no culling
+        bad = faces.copy()
+        bad[0] = bad[0][[0, 2, 1]]
+        assert _winding_orientation(verts, bad) is None
+        # open sheet (the VSD square fixtures): must NOT be culled
+        sq_v, sq_f = square_mesh()
+        assert _winding_orientation(sq_v, sq_f) is None
+
+    def test_face_bucket_sequence(self):
+        from gdm_tpu.eval.vsd import _FACE_BUCKET_MIN, _face_bucket
+
+        from gdm_tpu.eval.vsd import _FACE_CHUNK
+
+        assert _face_bucket(0) == _FACE_BUCKET_MIN
+        assert _face_bucket(1024) == 1024
+        assert _face_bucket(1025) == 1536
+        assert _face_bucket(2049) == 3072
+        assert _face_bucket(4100) == 6144
+        assert _face_bucket(9569) == 12288
+        # every bucket is a multiple of the raster face chunk, so the
+        # renderer's internal chunk padding never adds on top
+        for n in (1, 700, 3000, 5000, 20000, 100000):
+            assert _face_bucket(n) % _FACE_CHUNK == 0
+            assert _face_bucket(n) >= n
+
+    @pytest.mark.parametrize("flip_all", [False, True])
+    def test_cull_is_exact_on_closed_mesh(self, flip_all):
+        import jax.numpy as jnp
+
+        from gdm_tpu.eval.vsd import (
+            _face_bucket,
+            _visible_face_idx,
+            _winding_orientation,
+        )
+
+        verts, faces = self._sphere()
+        if flip_all:          # inward winding: orient=-1 must also work
+            faces = faces[:, [0, 2, 1]].copy()
+        orient = _winding_orientation(verts, faces)
+        assert orient == (-1.0 if flip_all else 1.0)
+        v2, f2 = subdivide_max_edge(verts, faces, 0.01)
+        rng = np.random.RandomState(1)
+        R = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+        R *= np.sign(np.linalg.det(R))
+        t = np.array([0.01, -0.005, 0.5], np.float32)
+        origin = np.array([288.0, 208.0], np.float32)  # K cx,cy - side/2
+        side, tile = 64, 16
+        idx = _visible_face_idx(v2, f2, orient, R, t, K, origin,
+                                side, tile)
+        assert 0 < len(idx) < len(f2) // 2 + len(f2) // 8  # real cull
+        vc = (v2 @ R.T + t).astype(np.float32)
+        d_all = np.asarray(render_depth_window(
+            jnp.asarray(vc), jnp.asarray(f2), jnp.asarray(K),
+            jnp.asarray(origin), (side, side), tile))
+        fc = np.zeros((_face_bucket(len(idx)), 3), np.int32)
+        fc[:len(idx)] = f2[idx]
+        d_cull = np.asarray(render_depth_window(
+            jnp.asarray(vc), jnp.asarray(fc), jnp.asarray(K),
+            jnp.asarray(origin), (side, side), tile))
+        assert (d_all > 0).sum() > 100          # object actually visible
+        np.testing.assert_array_equal(d_all, d_cull)
+
+    def test_batch_equals_single_on_closed_mesh(self):
+        from gdm_tpu.eval.vsd import vsd_err, vsd_err_batch
+
+        verts, faces = self._sphere(n=80)
+        diameter = 0.1
+        rng = np.random.RandomState(2)
+        R = np.eye(3, dtype=np.float32)
+        poses, depths = [], []
+        for z in (0.6, 0.9):
+            t_gt = np.array([0, 0, z], np.float32)
+            d = _gt_depth(verts @ R.T + t_gt, faces)
+            t_est = t_gt + rng.randn(3).astype(np.float32) * 0.002
+            poses.append((R, t_est, R, t_gt))
+            depths.append(d)
+        batch = vsd_err_batch(poses, depths, K, verts, faces, diameter)
+        for i, (p, d) in enumerate(zip(poses, depths)):
+            single = vsd_err(p[0], p[1], p[2], p[3], d, K, verts, faces,
+                             diameter)
+            np.testing.assert_allclose(batch[i], single, atol=1e-7)
