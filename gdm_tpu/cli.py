@@ -617,7 +617,7 @@ def build_parser():
         sp.add_argument("--ckpt-root", default="train_log")
         sp.add_argument("--batch-size", type=int, default=None)
         sp.add_argument("--num-workers", type=int, default=8)
-        sp.add_argument("--knn-chunk", type=int, default=512)
+        sp.add_argument("--knn-chunk", type=int, default=1024)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--devices", type=int, default=None,
                         help="use only the first N local devices "

@@ -22,7 +22,7 @@ from gdm_tpu.data.pipeline import assemble_inputs
 
 
 def make_train_step(bn_momentum_fn, build_pyramid_in_step: bool = True,
-                    knn_chunk: int = 512, donate: bool = True):
+                    knn_chunk: int = 1024, donate: bool = True):
     """Returns train_step(state, batch, mesh, rng) -> (state, metrics).
 
     batch: dict of host arrays — rgb, cld_rgb_nrm, choose, xyz_img,
@@ -65,7 +65,7 @@ def make_train_step(bn_momentum_fn, build_pyramid_in_step: bool = True,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(knn_chunk: int = 512):
+def make_eval_step(knn_chunk: int = 1024):
     """Returns eval_step(state, batch, mesh) -> end_points (jitted)."""
 
     def eval_step(state, batch, mesh):
