@@ -53,15 +53,15 @@ def _select_devices(args):
 
 def _build_object_setup(cfg, refd, cls_id, data_root):
     """Mesh graph + diameter + names for one object."""
-    from gdm_tpu.data.ply import load_fps_mesh
+    from gdm_tpu.data.ply import load_or_build_fps_mesh
     from gdm_tpu.models.geomatch import MeshArrays
     from gdm_tpu.models.spline_mesh import build_mesh_graph
     from gdm_tpu.refdata._base import symmetry_transform
 
     obj_name = refd.id2obj[cls_id]
     diameter_m = refd.diameters_mm_by_id[cls_id] / 1000.0
-    mesh_fps = load_fps_mesh(
-        osp.join(data_root, "kps"), cls_id, cfg.data.model_pt_num)
+    mesh_fps = load_or_build_fps_mesh(
+        data_root, cls_id, cfg.data.model_pt_num)
 
     sym = None
     if obj_name in cfg.data.sym_objs:

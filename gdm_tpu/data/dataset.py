@@ -49,7 +49,6 @@ from gdm_tpu.data.augment import (
 )
 from gdm_tpu.data.crop import crop_affine_matrix, crop_resize_by_warp_affine
 from gdm_tpu.data.gt_gen import pose_gt_info
-from gdm_tpu.data.ply import load_fps_mesh
 
 
 class PoseDataset:
@@ -61,7 +60,8 @@ class PoseDataset:
       mode: 'train' | 'test'.
       diameter_m: object diameter (metres) for the GT match threshold.
       mesh_fps: optional preloaded [M, 9] fps mesh (xyz m | rgb | nrm);
-        loaded from <data_root>/kps/obj_XXXXXX_fps.npy when omitted.
+        when omitted, loaded from <data_root>/kps/obj_XXXXXX_fps.npy or
+        FPS-sampled from the BOP model PLY (ply.load_or_build_fps_mesh).
       rng: np.random.RandomState (fresh from seed when omitted).
     """
 
@@ -81,8 +81,8 @@ class PoseDataset:
         root = data_root or d.data_root
 
         if mesh_fps is None:
-            mesh_fps = load_fps_mesh(
-                osp.join(root, "kps"), cls_id, d.model_pt_num)
+            from gdm_tpu.data.ply import load_or_build_fps_mesh
+            mesh_fps = load_or_build_fps_mesh(root, cls_id, d.model_pt_num)
         self.mesh_fps = mesh_fps
         self.mesh_pts = mesh_fps[:, :3]
 

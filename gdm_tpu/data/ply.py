@@ -178,6 +178,35 @@ def load_fps_mesh(kps_dir: str, obj_id: int, n_points: int) -> np.ndarray:
     return np.concatenate([pts, rgb, nrm], axis=1)
 
 
+def load_or_build_fps_mesh(data_root: str, obj_id: int,
+                           n_points: int) -> np.ndarray:
+    """``load_fps_mesh`` with a raw-BOP fallback -> [n_points, 9] (xyz m).
+
+    The reference REQUIRES precomputed ``kps/obj_XXXXXX_fps.npy`` files
+    (datasets/lm/linemod_pbr.py:89-97, models/SplineCNN.py:180-193) and
+    crashes without them.  Deliberate deviation: when the npy is absent,
+    farthest-point-sample the object's BOP model PLY directly
+    (``models_eval/`` preferred — same decimated mesh BOP evaluation
+    uses — else ``models/``), so a plain BOP dataset tree works out of
+    the box.
+    """
+    try:
+        return load_fps_mesh(osp.join(data_root, "kps"), obj_id, n_points)
+    except FileNotFoundError:
+        pass
+    for sub in ("models_eval", "models"):
+        p = osp.join(data_root, sub, f"obj_{obj_id:06d}.ply")
+        if osp.isfile(p):
+            data = mesh_fps_from_ply(p, n_points)
+            xyz_m = data[:, :3].astype(np.float32) / 1000.0
+            return np.concatenate(
+                [xyz_m, data[:, 3:9].astype(np.float32)], axis=1)
+    raise FileNotFoundError(
+        f"no fps mesh for obj {obj_id}: neither "
+        f"{data_root}/kps/obj_{obj_id:06d}_fps.npy nor a model PLY in "
+        f"{data_root}/models_eval|models")
+
+
 def mesh_fps_from_ply(ply_path: str, n_points: int,
                       seed: int = 0) -> np.ndarray:
     """Build the [n, 9] fps-style array straight from a BOP model PLY when

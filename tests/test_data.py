@@ -276,6 +276,29 @@ class TestPly:
         d = load_ply(p)
         np.testing.assert_allclose(d["pts"], [[0, 0, 0], [1, 2, 3]])
 
+    def test_load_or_build_fps_mesh_fallback(self, tmp_path):
+        """Without kps/*.npy the loader FPS-samples the BOP model PLY
+        (the reference crashes in that case, linemod_pbr.py:89-97)."""
+        from gdm_tpu.data.ply import load_or_build_fps_mesh
+
+        rng = np.random.RandomState(1)
+        pts_mm = rng.randn(300, 3).astype(np.float32) * 40
+        (tmp_path / "models_eval").mkdir()
+        write_ply(str(tmp_path / "models_eval" / "obj_000007.ply"), pts_mm)
+        fps = load_or_build_fps_mesh(str(tmp_path), 7, 32)
+        assert fps.shape == (32, 9)
+        # xyz converted mm -> m like load_fps_mesh
+        assert np.abs(fps[:, :3]).max() < 1.0
+        # kps file wins when present
+        (tmp_path / "kps").mkdir()
+        np.save(str(tmp_path / "kps" / "obj_000007_fps.npy"),
+                np.ones((32, 9), np.float32) * 500.0)
+        fps2 = load_or_build_fps_mesh(str(tmp_path), 7, 32)
+        np.testing.assert_allclose(fps2[:, :3], 0.5)
+        import pytest as _pytest
+        with _pytest.raises(FileNotFoundError):
+            load_or_build_fps_mesh(str(tmp_path / "nowhere"), 7, 32)
+
     def test_fps_from_ply(self, tmp_path):
         rng = np.random.RandomState(0)
         pts = rng.randn(500, 3).astype(np.float32) * 30
