@@ -107,8 +107,8 @@ def _face_bucket(n: int) -> int:
     from 2x to 1.5x (average ~1.2x) while keeping the number of distinct
     scan lengths — i.e. distinct _vsd_core_batch executables paying a
     remote compile — to a handful per workload.  Every bucket is a
-    multiple of the 1024-face raster chunk, so the renderer's own chunk
-    padding adds nothing on top.
+    multiple of the _FACE_CHUNK raster chunk, so the renderer's own
+    chunk padding adds nothing on top.
     """
     m = 1
     while _FACE_BUCKET_MIN * m < n:
@@ -323,11 +323,14 @@ def vsd_err(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
       verts/faces: render mesh (metres, object frame).  Subdivision to
         the raster-tile bound happens internally (cached per mesh and
         distance bucket) — pass the mesh as loaded.
-      tile: raster stamp size.  Total scatter work scales with
-        (tile/(tile-2))^2, so LARGER tiles do strictly less z-buffer
-        work; 32 measured 1.4x faster than 16 on chip with sub-0.005
-        metric drift (FP boundary flips of the step cost).  Changing it
-        recompiles and re-subdivides.
+      tile: raster stamp size.  Subdivided-face count scales with
+        (tile/(tile-2))^2, so larger tiles do fewer z-buffer updates;
+        32 measured 1.4x faster than 16 on chip with sub-0.005 metric
+        drift (FP boundary flips of the step cost), but 64 LOSES (38.5
+        vs 31.3 ms/frame on the bench workload, 2026-08-18): the ~6%
+        update saving is outweighed by worse stamp utilisation on the
+        4x-larger [chunk, 4096] scan rows.  32 is the sweet spot; don't
+        retry 64.  Changing tile recompiles and re-subdivides.
 
     Returns: [len(taus)] float errors in [0, 1].
     """
