@@ -13,6 +13,9 @@ from gdm_tpu.eval.metrics import (
     proj_err,
     mssd_err,
     mspd_err,
+    re_sym_err,
+    te_sym_err,
+    proj_sym_err,
     get_closest_rot,
     voc_auc,
 )

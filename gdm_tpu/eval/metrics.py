@@ -101,6 +101,35 @@ def mspd_err(R_est, t_est, R_gt, t_gt, pts, K, syms=None) -> float:
     return float(d.max(axis=1).min())
 
 
+def re_sym_err(R_est, R_gt, syms=None) -> float:
+    """Symmetry-aware rotation error in degrees (pose_error.py:184-204,
+    the offline scorer's 'reS' type): min over the GT pose's symmetric
+    equivalents.  One stacked trace instead of the reference's loop."""
+    Rs, _ = _sym_pose_stack(R_gt, np.zeros(3), syms)
+    tr = np.einsum("ij,sij->s", np.asarray(R_est), Rs)
+    cos = np.clip(0.5 * (np.minimum(tr, 3.0) - 1.0), -1.0, 1.0)
+    return float(np.rad2deg(np.arccos(cos)).min())
+
+
+def te_sym_err(t_est, t_gt, R_gt, syms=None) -> float:
+    """Symmetry-aware translation error (pose_error.py:206-221, 'teS'):
+    min distance to the symmetric equivalents' translations."""
+    _, ts = _sym_pose_stack(R_gt, t_gt, syms)
+    return float(np.linalg.norm(ts - np.ravel(t_est)[None], axis=1).min())
+
+
+def proj_sym_err(R_est, t_est, R_gt, t_gt, pts, K, syms=None) -> float:
+    """Symmetry-aware mean reprojection error in px (pose_error.py:224-259,
+    'projS'/arp_2d_sym): min over symmetric equivalents of the mean 2-D
+    distance."""
+    pr = _project(pts, R_est, np.ravel(t_est), K)
+    Rs, ts = _sym_pose_stack(R_gt, t_gt, syms)
+    pc = np.einsum("sij,nj->sni", Rs, pts) + ts[:, None, :]
+    pc = pc @ np.asarray(K).T
+    pg = pc[..., :2] / pc[..., 2:3]
+    return float(np.linalg.norm(pr[None] - pg, axis=2).mean(axis=1).min())
+
+
 def get_closest_rot(R_est, R_gt, sym_rots):
     """Closest symmetric equivalent of R_gt under model-frame symmetries.
 

@@ -84,3 +84,53 @@ class TestAuxMetrics:
         assert voc_auc([0.0] * 10) == pytest.approx(100.0)
         assert voc_auc([1.0] * 10) == 0.0
         assert voc_auc([]) == 0.0
+
+
+class TestSymAwareErrors:
+    """re_sym/te_sym/proj_sym vs the reference's per-sym loop semantics
+    (lib/pysixd/pose_error.py:184-259)."""
+
+    def _syms(self):
+        return [{"R": np.eye(3), "t": np.zeros(3)},
+                {"R": rot_z(180), "t": np.array([0.0, 0.002, 0.0])}]
+
+    def test_re_sym_picks_best_equivalent(self):
+        from gdm_tpu.eval.metrics import re_err, re_sym_err
+
+        R_est = rot_z(178)
+        # plain re: 178 deg off identity GT; the 180-deg sym rescues it
+        assert re_err(R_est, I3) == pytest.approx(178.0)
+        assert re_sym_err(R_est, I3, self._syms()) == pytest.approx(2.0)
+        # identity-only syms degrade to plain re
+        assert re_sym_err(R_est, I3, None) == pytest.approx(178.0)
+
+    def test_te_sym_uses_rotated_sym_offset(self):
+        from gdm_tpu.eval.metrics import te_sym_err
+
+        R_gt = rot_z(90)
+        syms = self._syms()
+        # reference: t_gt_sym = R_gt @ sym_t + t_gt
+        want = min(np.linalg.norm(R_gt @ s["t"] + T - (T + 0.001))
+                   for s in [{"t": np.zeros(3)},
+                             {"t": np.array([0.0, 0.002, 0.0])}])
+        got = te_sym_err(T + 0.001, T, R_gt, syms)
+        assert got == pytest.approx(want)
+
+    def test_proj_sym_matches_loop(self):
+        from gdm_tpu.eval.metrics import proj_sym_err, transform_pts
+
+        R_est, t_est = rot_z(5), T + np.array([0.003, 0, 0])
+        syms = self._syms()
+
+        def proj(pts, R, t):
+            pc = transform_pts(pts, R, t) @ K.T
+            return pc[:, :2] / pc[:, 2:3]
+
+        pe = proj(PTS, R_est, t_est)
+        want = min(
+            np.linalg.norm(
+                pe - proj(PTS, I3 @ s["R"], I3 @ s["t"] + T), axis=1
+            ).mean()
+            for s in syms)
+        got = proj_sym_err(R_est, t_est, I3, T, PTS, K, syms)
+        assert got == pytest.approx(want)
