@@ -32,8 +32,11 @@ from gdm_tpu.eval.metrics import (
     mspd_err,
     mssd_err,
     proj_err,
+    proj_sym_err,
     re_err,
+    re_sym_err,
     te_err,
+    te_sym_err,
     voc_auc,
 )
 
@@ -142,7 +145,8 @@ class Evaluator:
             cur_preds = self._predictions[obj_name]
             rec = {m: [] for m in METRIC_NAMES}
             err = {e: [] for e in ("ad", "re", "te", "proj",
-                                   "mssd", "mspd", "mspd_640")}
+                                   "mssd", "mspd", "mspd_640",
+                                   "re_sym", "te_sym", "proj_sym")}
             syms = self.sym_transforms.get(obj_name)
             diameter = self.diameters[obj_name]
             pts = self.models_pts[obj_name]
@@ -216,6 +220,15 @@ class Evaluator:
                                   pts, K, syms)
                 err["mssd"].append(mssd_e)
                 err["mspd"].append(mspd_e)
+                # full-sym-transform error variants (the offline scorer's
+                # reS/teS/projS, eval_calc_errors.py:431-450) — reported
+                # in the errors pickle alongside the closest-rot online
+                # variants above
+                err["re_sym"].append(re_sym_err(R_pred, R_gt, syms))
+                err["te_sym"].append(te_sym_err(t_pred, t_gt, R_gt, syms))
+                err["proj_sym"].append(proj_sym_err(
+                    R_pred, t_pred.ravel(), R_gt, t_gt.ravel(), pts, K,
+                    syms))
                 im_w = float(gt.get("im_w", self.im_w))
                 # 640-width-normalised mspd stored per frame so AR_MSPD
                 # honours per-frame image widths exactly like mspd_10

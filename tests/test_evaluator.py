@@ -95,6 +95,20 @@ class TestBop19:
             ev2.add_prediction(obj, fn, rot_z(180), [0, 0, 1.0])
         assert ev2.evaluate(gts)["bop19_ar"][obj]["ar_mssd"] < 0.5
 
+    def test_sym_aware_error_curves_emitted(self):
+        """reS/teS/projS columns ride in the errors output; the 180-deg
+        symmetry rescues re_sym while the plain re stays 180 off."""
+        obj = "eggbox"
+        syms = [(np.eye(3), np.zeros(3)), (rot_z(180), np.zeros(3))]
+        ev, gts = _make(2, obj=obj, sym_transforms={obj: syms})
+        for fn in gts[obj]:
+            ev.add_prediction(obj, fn, rot_z(180), [0, 0, 1.0])
+        errs = ev.evaluate(gts)["errors"][obj]
+        assert np.allclose(errs["re_sym"], 0.0, atol=1e-5)
+        assert np.allclose(errs["re"], 180.0, atol=1e-4)
+        assert np.allclose(errs["te_sym"], 0.0, atol=1e-9)
+        assert np.allclose(errs["proj_sym"], 0.0, atol=1e-3)
+
     def test_mspd_im_width_normalisation(self):
         # same error, wider image -> scaled down by 640/im_w
         obj = "ape"
