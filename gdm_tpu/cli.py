@@ -212,10 +212,11 @@ def train(args):
         create_train_state,
         cyclic_lr,
         load_checkpoint,
+        make_optimizer,
         make_train_step,
         save_checkpoint,
     )
-    from gdm_tpu.utils.logging import get_logger
+    from gdm_tpu.utils.logging import JsonlLogger, get_logger
 
     if args.multihost:
         jax.distributed.initialize()
@@ -263,7 +264,8 @@ def train(args):
         dl = DataLoader(ds, batch_size // jax.process_count(),
                         shuffle=True, drop_last=True,
                         num_workers=args.num_workers, seed=args.seed,
-                        rank=jax.process_index(), world=jax.process_count())
+                        rank=jax.process_index(), world=jax.process_count(),
+                        workers=args.loader_workers)
         log.info("%d samples, %d steps/epoch", len(ds), len(dl))
 
         model_i, mesh_input, _, needs_pyramid = _make_model(
@@ -277,12 +279,9 @@ def train(args):
         # once — a fresh schedule closure per object would change the
         # optimizer pytree identity and force a train-step recompile
         if lr is None:
-            import optax
-
             lr = cyclic_lr(sol.base_lr, sol.max_lr,
                            max(epochs * len(dl) // sol.clr_div, 1))
-            tx = (optax.adamw(lr, weight_decay=sol.weight_decay)
-                  if sol.weight_decay else optax.adam(lr))
+            tx = make_optimizer(lr, sol.weight_decay, sol.skip_nonfinite)
 
         batch0, _ = next(iter(dl))
         fin0 = _device_batch(batch0, dev_mesh, cfg.data.fill_depth)
@@ -302,10 +301,17 @@ def train(args):
                 start_epoch = ep + 1
                 log.info("resumed from epoch %d", ep)
 
+        # machine-readable metrics stream alongside the console log
+        # (reference observability is stdout-only, train_lm.py:275-283)
+        mlog = (JsonlLogger(osp.join(args.ckpt_root, "metrics",
+                                     f"{obj_name}.jsonl"))
+                if jax.process_index() == 0 else None)
+        notfinite_seen = 0
         rng = jax.random.PRNGKey(args.seed + 7 + cls_id)
         for epoch in range(start_epoch, epochs):
             dl.set_epoch(epoch)
             t0 = time.perf_counter()
+            it_prev = 0
             for it, (batch, _) in enumerate(dl):
                 fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
                 inputs = _train_inputs(fin, args.knn_chunk, needs_pyramid,
@@ -313,16 +319,42 @@ def train(args):
                 state, metrics = train_step(state, inputs, mesh_input, rng)
                 if it % 100 == 0:
                     m = jax.device_get(metrics)
+                    dt = time.perf_counter() - t0
+                    sps = (it - it_prev + 1) * batch_size / max(dt, 1e-9)
+                    step = int(jax.device_get(state.step))
                     log.info(
                         "epoch %d it %d loss %.4f (seg %.4f match %.4f) "
-                        "%.2f s", epoch, it, m["loss"], m["seg_loss"],
-                        m["match_loss"], time.perf_counter() - t0)
+                        "%.2f s (%.1f samples/s)", epoch, it, m["loss"],
+                        m["seg_loss"], m["match_loss"], dt, sps)
+                    nf = int(m.get("total_notfinite", 0))
+                    if nf > notfinite_seen:
+                        log.warning(
+                            "%d non-finite update(s) skipped so far "
+                            "(solver.skip_nonfinite guard)", nf)
+                        notfinite_seen = nf
+                    if not np.isfinite(m["loss"]):
+                        log.warning("non-finite loss at epoch %d it %d",
+                                    epoch, it)
+                    if mlog is not None:
+                        mlog.write({
+                            "obj": obj_name, "epoch": epoch, "it": it,
+                            "step": step, "loss": m["loss"],
+                            "seg_loss": m["seg_loss"],
+                            "match_loss": m["match_loss"],
+                            "lr": float(lr(step)),
+                            "bn_momentum": m["bn_momentum"],
+                            "samples_per_sec": round(sps, 2),
+                            "total_notfinite": nf,
+                        })
                     t0 = time.perf_counter()
+                    it_prev = it + 1
             if jax.process_index() == 0 and (
                     (epoch + 1) % sol.checkpoint_every_epochs == 0
                     or epoch + 1 == epochs):
                 path = save_checkpoint(state, ckpt_dir, epoch)
                 log.info("checkpoint -> %s", path)
+        if mlog is not None:
+            mlog.close()
     return state
 
 
@@ -342,7 +374,11 @@ def evaluate(args):
         replicate,
     )
     from gdm_tpu.refdata import get as get_refdata
-    from gdm_tpu.train import create_train_state, load_checkpoint
+    from gdm_tpu.train import (
+        create_train_state,
+        load_checkpoint,
+        make_optimizer,
+    )
     from gdm_tpu.train.import_torch import load_torch_reference_checkpoint
     from gdm_tpu.utils.logging import get_logger
 
@@ -412,7 +448,8 @@ def evaluate(args):
         dl = DataLoader(ds, host_bs, shuffle=False, drop_last=False,
                         num_workers=args.num_workers,
                         rank=jax.process_index(),
-                        world=jax.process_count())
+                        world=jax.process_count(),
+                        workers=args.loader_workers)
         mesh_input = replicate(mesh_input, dev_mesh)
         mesh_xyz = replicate(mesh_xyz, dev_mesh)
 
@@ -473,12 +510,19 @@ def evaluate(args):
                 if state_template is None:
                     # init runs in train mode (awl params), so the sample
                     # inputs need the GT keys the loss consumes; one init
-                    # serves all objects (identical structure)
+                    # serves all objects (identical structure).  The
+                    # optimizer must be built exactly as train() builds it
+                    # (same weight_decay / skip_nonfinite wrapping): the
+                    # checkpoint restore target is this state's own
+                    # opt_state tree.
                     sample_inputs = _train_inputs(
                         fin, args.knn_chunk, needs_pyramid)
                     state_template = create_train_state(
                         model, jax.random.PRNGKey(0), sample_inputs,
-                        mesh_input, lambda _: 1e-4)
+                        mesh_input, lambda _: 1e-4,
+                        tx=make_optimizer(lambda _: 1e-4,
+                                          cfg.solver.weight_decay,
+                                          cfg.solver.skip_nonfinite))
                 state = state_template
                 if args.torch_checkpoint:
                     state = load_torch_reference_checkpoint(
@@ -617,6 +661,12 @@ def build_parser():
         sp.add_argument("--ckpt-root", default="train_log")
         sp.add_argument("--batch-size", type=int, default=None)
         sp.add_argument("--num-workers", type=int, default=8)
+        sp.add_argument("--loader-workers", choices=["thread", "process"],
+                        default="thread",
+                        help="decode worker kind (data.loader.DataLoader):"
+                             " threads (PIL/cv2/scipy release the GIL) or"
+                             " processes (when per-sample python overhead"
+                             " dominates)")
         sp.add_argument("--knn-chunk", type=int, default=1024)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--devices", type=int, default=None,

@@ -63,6 +63,14 @@ class SolverConfig:
     bn_momentum_clip: float = 0.01
     checkpoint_every_epochs: int = 10
     num_workers: int = 4
+    # non-finite-update guard (optax.apply_if_finite): an update whose
+    # gradients contain NaN/inf is SKIPPED (params/opt state untouched)
+    # up to this many consecutive times, then passed through so the NaN
+    # surfaces instead of silently stalling.  0 disables the guard.
+    # NOTE: the guard wraps the optimizer state, so this field changes
+    # the checkpoint opt_state layout — train and eval read it from the
+    # same config, keeping restore targets consistent.
+    skip_nonfinite: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,33 @@ class TrainState:
 from functools import partial
 
 
+def make_optimizer(
+    lr_schedule,
+    weight_decay: float = 0.0,
+    skip_nonfinite: int = 0,
+) -> optax.GradientTransformation:
+    """Adam(W) with an optional non-finite-update guard.
+
+    The reference has no failure detection at all (SURVEY.md section 5);
+    a NaN loss poisons the params and the run continues silently.  With
+    skip_nonfinite > 0 the update is wrapped in optax.apply_if_finite:
+    non-finite gradient updates are skipped (zero update, params and
+    inner optimizer state untouched) up to that many CONSECUTIVE times,
+    after which they pass through so the NaN becomes visible rather than
+    the run stalling forever.  The train step surfaces the wrapper's
+    `total_notfinite` counter in its metrics.
+
+    Build the transformation ONCE per run and reuse it across objects:
+    a fresh optax closure changes the TrainState's static treedef and
+    forces train-step recompiles (create_train_state docstring).
+    """
+    tx = optax.adamw(lr_schedule, weight_decay=weight_decay) \
+        if weight_decay else optax.adam(lr_schedule)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
+    return tx
+
+
 @partial(jax.jit, static_argnames=("model",))
 def _jitted_init(model, rng, sample_inputs, sample_mesh):
     return model.init(
@@ -63,8 +90,7 @@ def create_train_state(
     # module-level + static-model so multi-object loops reuse the compile
     variables = _jitted_init(model, init_rng, sample_inputs, sample_mesh)
     if tx is None:
-        tx = optax.adamw(lr_schedule, weight_decay=weight_decay) \
-            if weight_decay else optax.adam(lr_schedule)
+        tx = make_optimizer(lr_schedule, weight_decay)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(

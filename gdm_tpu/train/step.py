@@ -60,6 +60,10 @@ def make_train_step(bn_momentum_fn, build_pyramid_in_step: bool = True,
             "match_loss": out["match_loss"],
             "bn_momentum": momentum,
         }
+        # non-finite-update guard counter (train.state.make_optimizer):
+        # cumulative count of skipped updates this run
+        if hasattr(new_state.opt_state, "total_notfinite"):
+            metrics["total_notfinite"] = new_state.opt_state.total_notfinite
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

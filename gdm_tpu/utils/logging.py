@@ -51,6 +51,39 @@ def profiler_trace(log_dir: str | None):
         jax.profiler.stop_trace()
 
 
+class JsonlLogger:
+    """Append-only JSONL metrics log (one dict per line, ts added).
+
+    The reference's only training observability is a stdout print every
+    100 iters (train_lm.py:275-283); this provides the machine-readable
+    stream a tensorboard/W&B-style consumer (or plain `jq`) needs.
+    Opens lazily and creates parent directories; `write` flushes per
+    line so a crashed run keeps everything logged so far.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = None
+
+    def write(self, record: dict):
+        import json
+        import os
+
+        if self._f is None:
+            os.makedirs(os.path.dirname(os.path.abspath(self.path)),
+                        exist_ok=True)
+            self._f = open(self.path, "a")
+        rec = {"ts": round(time.time(), 3)}
+        rec.update(record)
+        self._f.write(json.dumps(rec, default=float) + "\n")
+        self._f.flush()
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
 class StepTimer:
     """Rolling per-phase wall-clock timer for train/eval loops."""
 

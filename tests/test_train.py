@@ -25,6 +25,7 @@ from gdm_tpu.train import (
     create_train_state,
     cyclic_lr,
     load_checkpoint,
+    make_optimizer,
     make_train_step,
     save_checkpoint,
 )
@@ -124,6 +125,89 @@ class TestTrainStep:
     def test_missing_checkpoint_returns_none(self, tmp_path, shared):
         _, epoch = load_checkpoint(shared.state0, str(tmp_path / "nope"))
         assert epoch is None
+
+
+class TestNonfiniteGuard:
+    """solver.skip_nonfinite — the failure-detection layer the reference
+    lacks entirely (SURVEY.md section 5: a NaN loss silently poisons a
+    DDP run until someone reads the console)."""
+
+    def test_optimizer_skips_then_passes_through(self):
+        tx = make_optimizer(lambda _: 1e-2, skip_nonfinite=2)
+        params = {"w": jnp.ones(3)}
+        s = tx.init(params)
+        nan_g = {"w": jnp.array([1.0, jnp.nan, 0.0])}
+        fin_g = {"w": jnp.full(3, 0.5)}
+
+        import optax
+
+        # non-finite update: skipped, params unchanged, counter up
+        u, s = tx.update(nan_g, s, params)
+        p1 = optax.apply_updates(params, u)
+        np.testing.assert_array_equal(np.asarray(p1["w"]), np.ones(3))
+        assert int(s.total_notfinite) == 1
+
+        # finite update: applied, consecutive counter resets
+        u, s = tx.update(fin_g, s, params)
+        p2 = optax.apply_updates(params, u)
+        assert np.all(np.asarray(p2["w"]) != 1.0)
+        assert int(s.notfinite_count) == 0
+
+        # exceed max_consecutive_errors: the NaN passes through so the
+        # failure surfaces instead of the run silently stalling
+        for _ in range(2):
+            u, s = tx.update(nan_g, s, params)
+        u, s = tx.update(nan_g, s, params)
+        p3 = optax.apply_updates(params, u)
+        assert not np.all(np.isfinite(np.asarray(p3["w"])))
+
+    def test_guarded_state_apply_gradients(self, shared):
+        """A guarded TrainState skips a NaN-gradient apply_gradients and
+        surfaces total_notfinite on its opt_state (what make_train_step
+        exports as a metric)."""
+        tx = make_optimizer(cyclic_lr(1e-4, 1e-3, 100), skip_nonfinite=3)
+        state = create_train_state(
+            shared.model, jax.random.PRNGKey(0),
+            _inputs(shared.batch), shared.mesh,
+            cyclic_lr(1e-4, 1e-3, 100), tx=tx)
+        assert hasattr(state.opt_state, "total_notfinite")
+
+        bad_grads = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, jnp.nan), state.params)
+        new_state = state.apply_gradients(bad_grads, state.batch_stats)
+        assert int(new_state.opt_state.total_notfinite) == 1
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(new_state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # guarded checkpoints round-trip into a guarded template
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            save_checkpoint(new_state, osp.join(d, "obj"), epoch=0)
+            restored, epoch = load_checkpoint(state, osp.join(d, "obj"))
+            assert epoch == 0
+            assert int(restored.opt_state.total_notfinite) == 1
+
+
+class TestJsonlLogger:
+    def test_writes_and_appends(self, tmp_path):
+        import json
+
+        from gdm_tpu.utils.logging import JsonlLogger
+
+        path = tmp_path / "sub" / "metrics.jsonl"
+        log = JsonlLogger(str(path))
+        log.write({"epoch": 0, "loss": 1.5, "lr": np.float32(0.1)})
+        log.write({"epoch": 1, "loss": jnp.float32(0.7)})
+        log.close()
+        log2 = JsonlLogger(str(path))          # append, not truncate
+        log2.write({"epoch": 2, "loss": 0.2})
+        log2.close()
+        rows = [json.loads(line) for line in path.read_text().splitlines()]
+        assert [r["epoch"] for r in rows] == [0, 1, 2]
+        assert rows[0]["lr"] == pytest.approx(0.1)
+        assert all("ts" in r for r in rows)
 
 
 class TestDataParallel:
