@@ -45,6 +45,17 @@ def weighted_kabsch(A: jax.Array, B: jax.Array, w: jax.Array) -> jax.Array:
             AA, BB, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                 # [3, 3] = AA^T BB
+        # Scale-normalise H before the SVD.  U/Vt are scale-invariant,
+        # and the TPU's BATCHED (vmapped) SVD returns a grossly
+        # non-orthonormal U for specific near-rank-1 matrices with
+        # ~1e-19-magnitude entries — the exact H a degenerate
+        # correspondence set produces (all points matched to one mesh
+        # vertex, e.g. untrained features): measured U@U.T off identity
+        # by 0.94 on v5e, while the same H normalised to O(1) is exact
+        # to 1e-7 (2026-08-18; single-matrix SVD of the same H was fine
+        # — only the batched path misbehaves).  The 1e-30 floor keeps
+        # H=0 well-defined (SVD(0) = identity factors).
+        H = H / jnp.maximum(jnp.max(jnp.abs(H)), 1e-30)
         U, _, Vt = jnp.linalg.svd(H, full_matrices=True)
         det = jnp.linalg.det(Vt.T @ U.T)
         sign = jnp.where(det < 0, -1.0, 1.0)

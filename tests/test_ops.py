@@ -172,6 +172,31 @@ class TestKabsch:
                                    jnp.array(B, jnp.float32)))
         assert np.linalg.det(RT[:, :3]) > 0.99
 
+    def test_degenerate_batched_returns_rotation(self):
+        """All source points collapsed onto ONE vertex (what untrained
+        features produce): the covariance is rounding dust near 1e-19.
+        The TPU's BATCHED SVD returned a non-orthonormal U for such
+        matrices (U@U.T off identity by 0.94, 2026-08-18) until
+        weighted_kabsch scale-normalised H; the contract is that the
+        output is ALWAYS a proper rotation, arbitrary as it may be."""
+        r = np.random.RandomState(3)
+        A = np.repeat(r.randn(4, 1, 3).astype(np.float32) * 0.05,
+                      256, axis=1)
+        B = r.randn(4, 256, 3).astype(np.float32) * 0.3
+        w = np.ones((4, 256), np.float32)
+        rts = np.asarray(jax.jit(jax.vmap(ops.weighted_kabsch))(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(w)))
+        for i in range(4):
+            R = rts[i][:, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.99
+        # exact zeros too (w sums to ~0 is guarded upstream; H == 0 here)
+        rt0 = np.asarray(ops.weighted_kabsch(
+            jnp.zeros((16, 3)), jnp.zeros((16, 3)),
+            jnp.ones(16, jnp.float32)))
+        R0 = rt0[:, :3]
+        np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-4)
+
 
 class TestRansac:
     def test_outlier_rejection(self):
