@@ -6,6 +6,10 @@ Replaces reference train_lm.py / train_ycb.py / test_lmo.sh:
         --data-root datasets/lm/linemod --ckpt-root train_log/lm
     python -m gdm_tpu.cli eval --dataset lmo --data-root ... \
         --ckpt-root train_log/lm [--refine icp] [--cls-id 1]
+    python -m gdm_tpu.cli infer --dataset lmo --data-root ... \
+        --ckpt-root train_log/lm            # GT-less deployment mode
+    python -m gdm_tpu.cli score --dataset lmo --data-root ... \
+        --csv output/infer_lmo.csv          # re-score once GT exists
 
 Deviations from the reference (deliberate, documented):
   * one process drives all local devices — data parallelism comes from
@@ -183,6 +187,46 @@ def _train_inputs(fin, knn_chunk, needs_pyramid, positive_r=None):
         if positive_r is not None:
             inputs["positive_r"] = jnp.float32(positive_r)
     return inputs
+
+
+def _make_infer_jits(needs_pyramid, knn_chunk, exact_knn, refine):
+    """Staged inference jits shared by `eval` and `infer`.
+
+    encode_mesh computes the batch-independent mesh features once per
+    object; infer_step runs preprocess + forward + on-device pose fit.
+    Staged programs schedule better than one monolithic jit on TPU and
+    pipeline through the device queue (bench.py make_pipeline notes).
+    """
+    import jax
+
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
+
+    @jax.jit
+    def encode_mesh(state, mesh_input):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            mesh_input, train=False, method="encode_mesh")
+
+    @jax.jit
+    def infer_step(state, fin, mesh_input, mesh_feats, mesh_xyz,
+                   icp_reject):
+        if needs_pyramid:
+            inputs = assemble_inputs(
+                fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+                fin["xyz_img"], knn_chunk=knn_chunk,
+                approx=not exact_knn)
+        else:
+            inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            inputs, mesh_input, train=False, mesh_features=mesh_feats)
+        return fit_poses_from_outputs(
+            fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
+            det=fin.get("det"), refine=refine,
+            icp_reject_dist=icp_reject)
+
+    return encode_mesh, infer_step
 
 
 def _device_batch(batch, mesh_dev, fill_depth):
@@ -364,9 +408,7 @@ def evaluate(args):
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
     from gdm_tpu.data.loader import DataLoader
-    from gdm_tpu.data.pipeline import assemble_inputs
     from gdm_tpu.eval.evaluator import Evaluator
-    from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
     from gdm_tpu.parallel import (
         all_gather_host,
         local_rows,
@@ -468,33 +510,9 @@ def evaluate(args):
                       else cfg.data.nn_dist_th * diameters[obj_name])
 
         if infer is None:
-            @jax.jit
-            def encode_mesh(state, mesh_input):
-                return state.apply_fn(
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats},
-                    mesh_input, train=False, method="encode_mesh")
-
-            @jax.jit
-            def infer(state, fin, mesh_input, mesh_feats, mesh_xyz,
-                      icp_reject):
-                if needs_pyramid:
-                    inputs = assemble_inputs(
-                        fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
-                        fin["xyz_img"], knn_chunk=args.knn_chunk,
-                        approx=not args.exact_knn)
-                else:
-                    inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
-                out = state.apply_fn(
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats},
-                    inputs, mesh_input, train=False,
-                    mesh_features=mesh_feats)
-                poses = fit_poses_from_outputs(
-                    fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
-                    det=fin.get("det"), refine=args.refine,
-                    icp_reject_dist=icp_reject)
-                return poses
+            encode_mesh, infer = _make_infer_jits(
+                needs_pyramid, args.knn_chunk, args.exact_knn,
+                args.refine)
 
         n_done = 0
         for batch, meta in dl:
@@ -561,6 +579,153 @@ def evaluate(args):
         print(results["table"])
         return results
     return None
+
+
+def infer(args):
+    """GT-less deployment inference: frames + detections -> results CSV.
+
+    The reference cannot run without ground truth (its test path reads
+    scene_gt.json for masks and poses even at inference,
+    train_lm.py:320-373 + linemod_pbr.py:145-201).  This mode consumes
+    only rgb/depth images, scene_camera intrinsics and a detection file,
+    and writes the same BOP-format results CSV `eval` produces — which
+    `cli score` can re-score later once GT is available (deploy now,
+    audit later).
+    """
+    import jax
+
+    from gdm_tpu.configs.base import get_config
+    from gdm_tpu.data.dataset import PoseDataset
+    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.parallel import (
+        all_gather_host,
+        local_rows,
+        make_mesh,
+        replicate,
+    )
+    from gdm_tpu.refdata import get as get_refdata
+    from gdm_tpu.train import (
+        create_train_state,
+        load_checkpoint,
+        make_optimizer,
+    )
+    from gdm_tpu.train.import_torch import load_torch_reference_checkpoint
+    from gdm_tpu.utils.logging import get_logger
+
+    if args.multihost:
+        jax.distributed.initialize()
+    log = get_logger("infer")
+    cfg = get_config(args.dataset, args.opt)
+    refd = get_refdata(args.dataset)
+    batch_size = args.batch_size or cfg.solver.val_batch_size
+    dev_mesh = make_mesh(_select_devices(args))
+    cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
+    if batch_size % jax.process_count():
+        raise SystemExit(f"batch {batch_size} not divisible by "
+                         f"{jax.process_count()} processes")
+    host_bs = batch_size // jax.process_count()
+
+    model = None
+    state_template = None
+    encode_mesh = infer_step = None
+    rows = []                       # (file_name, obj_id, pose [3,4], dt)
+    for cls_id in cls_ids:
+        obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
+            cfg, refd, cls_id, args.data_root)
+        ds = PoseDataset(cfg, cls_id, "infer", diameter_m=diameter_m,
+                         data_root=args.data_root,
+                         detections_file=args.detections)
+        if len(ds) == 0:
+            log.warning("no detections for %s", obj_name)
+            continue
+        model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
+            cfg, diameter_m, mesh_fps, mesh_arr)
+        if model is None:
+            model = model_i
+        dl = DataLoader(ds, host_bs, shuffle=False, drop_last=False,
+                        num_workers=args.num_workers,
+                        rank=jax.process_index(),
+                        world=jax.process_count(),
+                        workers=args.loader_workers)
+        mesh_input = replicate(mesh_input, dev_mesh)
+        mesh_xyz = replicate(mesh_xyz, dev_mesh)
+        icp_reject = (args.icp_reject if args.icp_reject is not None
+                      else cfg.data.nn_dist_th * diameter_m)
+        if infer_step is None:
+            encode_mesh, infer_step = _make_infer_jits(
+                needs_pyramid, args.knn_chunk, args.exact_knn,
+                args.refine)
+
+        state = None
+        mesh_feats = None
+        ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
+        n_done = 0
+        for batch, meta in dl:
+            n_real = batch["rgb_u8"].shape[0]
+            if n_real < host_bs:
+                pad = host_bs - n_real
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, 0)]) for k, v in
+                    batch.items()}
+            fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
+            if state is None:
+                if state_template is None:
+                    sample_inputs = _train_inputs(
+                        fin, args.knn_chunk, needs_pyramid)
+                    state_template = create_train_state(
+                        model, jax.random.PRNGKey(0), sample_inputs,
+                        mesh_input, lambda _: 1e-4,
+                        tx=make_optimizer(lambda _: 1e-4,
+                                          cfg.solver.weight_decay,
+                                          cfg.solver.skip_nonfinite))
+                state = state_template
+                if args.torch_checkpoint:
+                    state = load_torch_reference_checkpoint(
+                        state, osp.join(args.torch_checkpoint, obj_name))
+                else:
+                    state, ep = load_checkpoint(state, ckpt_dir)
+                    if ep is None:
+                        log.warning("no checkpoint for %s in %s — "
+                                    "inferring with untrained weights",
+                                    obj_name, ckpt_dir)
+                state = replicate(state, dev_mesh)
+            if mesh_feats is None:
+                mesh_feats = encode_mesh(state, mesh_input)
+            t0 = time.perf_counter()
+            poses = local_rows(
+                infer_step(state, fin, mesh_input, mesh_feats, mesh_xyz,
+                           np.float32(icp_reject)))
+            dt = (time.perf_counter() - t0) / n_real
+            for i in range(n_real):
+                rows.append((meta[i]["file_name"], cls_id,
+                             np.asarray(poses[i], np.float64), dt))
+            n_done += n_real
+        log.info("%s: %d frames", obj_name, n_done)
+
+    if jax.process_count() > 1:
+        rows = [r for sub in all_gather_host(rows) for r in sub]
+    if jax.process_index() != 0:
+        return None
+    if not rows:
+        raise SystemExit("nothing inferred (no detections matched)")
+    out_csv = args.output or osp.join(
+        "output", f"infer_{args.dataset}.csv")
+    import os
+
+    os.makedirs(osp.dirname(osp.abspath(out_csv)), exist_ok=True)
+    lines = ["scene_id,im_id,obj_id,score,R,t,time"]
+    for file_name, obj_id, pose, dt in rows:
+        scene_s, im_s = file_name.split("/")[:2]
+        R, t_mm = pose[:, :3], pose[:, 3] * 1000.0
+        lines.append(
+            f"{int(scene_s)},{int(im_s)},{obj_id},-1,"
+            f"{' '.join(map(str, R.flatten().tolist()))},"
+            f"{' '.join(map(str, t_mm.flatten().tolist()))},"
+            f"{dt:.6f}")
+    with open(out_csv, "w") as f:
+        f.write("\n".join(lines))
+    log.info("%d predictions -> %s", len(rows), out_csv)
+    return {"csv": out_csv, "n": len(rows)}
 
 
 def score(args):
@@ -712,6 +877,29 @@ def build_parser():
                    help="exact top-k for the aggregation KNN pyramid "
                         "(~7x slower; measured no pose-accuracy gain)")
 
+    i = sub.add_parser(
+        "infer", help="GT-less deployment inference: rgb/depth + "
+                      "detections -> BOP results CSV (re-scorable "
+                      "later with `score`)")
+    common(i)
+    i.add_argument("--cls-id", type=int, default=None,
+                   help="single object (default: all in config)")
+    i.add_argument("--detections", default=None,
+                   help="detection JSON (default: "
+                        "<subset>/real_det.json)")
+    i.add_argument("--output", default=None,
+                   help="results CSV path (default: "
+                        "output/infer_<dataset>.csv)")
+    i.add_argument("--refine", choices=["ransac", "icp", "meanshift"],
+                   default=None)
+    i.add_argument("--icp-reject", type=float, default=None,
+                   help="ICP correspondence gate in metres (default: "
+                        "nn_dist_th x object diameter)")
+    i.add_argument("--torch-checkpoint", default=None,
+                   help="directory of reference .pth.tar checkpoints to "
+                        "import instead of native orbax checkpoints")
+    i.add_argument("--exact-knn", action="store_true")
+
     s = sub.add_parser(
         "score", help="offline re-scoring of a BOP results CSV "
                       "(reference lib/pysixd offline eval workflow)")
@@ -734,6 +922,8 @@ def main(argv=None):
             return train(args)
         if args.command == "score":
             return score(args)
+        if args.command == "infer":
+            return infer(args)
         return evaluate(args)
 
 

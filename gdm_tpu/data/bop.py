@@ -182,6 +182,81 @@ def build_index(
     return records, stats
 
 
+def build_index_infer(
+    data_root: str,
+    subset: str,
+    obj_ids,
+    im_hw=(480, 640),
+    detections: dict | None = None,
+    selected_id: int | None = None,
+) -> tuple[list[Record], IndexStats]:
+    """GT-less index for deployment inference (`cli infer`).
+
+    The reference cannot run without ground truth — its test loader
+    reads scene_gt.json for masks and poses even at inference
+    (linemod_pbr.py:145-201).  This scans only scene_camera.json plus a
+    detection file, emitting one Record per detected object instance:
+    pose/bbox/mask fields are placeholders, bbox_est carries the
+    detector box.  Frames come from the subset's train.txt when present,
+    else from the detection keys.
+    """
+    img_root = osp.join(data_root, subset)
+    im_h, im_w = im_hw
+    obj_ids = list(obj_ids)
+    detections = detections or {}
+    stats = IndexStats(
+        missed_det={o: 0 for o in obj_ids},
+        found_det={o: 0 for o in obj_ids})
+    img_ext = "jpg" if "pbr" in subset else "png"
+
+    idx_file = osp.join(img_root, "train.txt")
+    if osp.exists(idx_file):
+        scene_im_ids = []
+        with open(idx_file, "r") as f:
+            for line in f:
+                s, i = line.strip("\r\n").split("/")[:2]
+                scene_im_ids.append((int(s), int(i)))
+    else:
+        scene_im_ids = [tuple(int(v) for v in key.split("/")[:2])
+                        for key in detections]
+    scene_im_ids = sorted(set(scene_im_ids))
+
+    cam_cache = {}
+    records = []
+    no_pose = np.zeros((3, 4), np.float32)
+    for scene_id, im_id in scene_im_ids:
+        if scene_id not in cam_cache:
+            cam_cache[scene_id] = _load_json(osp.join(
+                img_root, f"{scene_id:06d}", "scene_camera.json"))
+        cam = cam_cache[scene_id][str(im_id)]
+        K = np.array(cam["cam_K"], np.float32).reshape(3, 3)
+        depth_factor = 1000.0 / cam["depth_scale"]
+        base = osp.join(img_root, f"{scene_id:06d}")
+        dets = detections.get(f"{scene_id}/{im_id}", {})
+        for obj_id in obj_ids:
+            if selected_id is not None and obj_id != selected_id:
+                continue
+            box = dets.get(obj_id)
+            if box is None:
+                stats.missed_det[obj_id] += 1
+                continue
+            x1, y1, x2, y2 = box
+            box = (max(min(x1, im_w), 0), max(min(y1, im_h), 0),
+                   max(min(x2, im_w), 0), max(min(y2, im_h), 0))
+            if box[2] - box[0] <= 1 or box[3] - box[1] <= 1:
+                stats.invalid_box += 1
+                continue
+            stats.found_det[obj_id] += 1
+            records.append(Record(
+                rgb_file=osp.join(base, f"rgb/{im_id:06d}.{img_ext}"),
+                depth_file=osp.join(base, f"depth/{im_id:06d}.png"),
+                mask_file="", cam_K=K, depth_factor=depth_factor,
+                bbox=box, pose=no_pose, obj_id=obj_id, img_type="test",
+                file_name=f"{scene_id:06d}/{im_id:06d}", bbox_est=box,
+                scene_id=scene_id, im_id=im_id))
+    return records, stats
+
+
 def aug_bbox_dzi(
     bbox_xyxy,
     rng: np.random.RandomState,

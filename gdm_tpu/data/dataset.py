@@ -57,19 +57,27 @@ class PoseDataset:
     Args:
       cfg: preset Config (configs.base).
       cls_id: the selected object id.
-      mode: 'train' | 'test'.
+      mode: 'train' | 'test' | 'infer'.  'infer' is the GT-less
+        deployment path (`cli infer`): frames come from scene_camera +
+        a detection file only — no scene_gt, no masks; GT-derived keys
+        (labels/match_idx/visible_flag/RT) are placeholders.  The
+        reference has no such mode (its test loader reads scene_gt even
+        at inference, linemod_pbr.py:145-201).
       diameter_m: object diameter (metres) for the GT match threshold.
       mesh_fps: optional preloaded [M, 9] fps mesh (xyz m | rgb | nrm);
         when omitted, loaded from <data_root>/kps/obj_XXXXXX_fps.npy or
         FPS-sampled from the BOP model PLY (ply.load_or_build_fps_mesh).
       rng: np.random.RandomState (fresh from seed when omitted).
+      detections_file: detection JSON override for test/infer (default:
+        <subset>/real_det.json).
     """
 
     def __init__(self, cfg: Config, cls_id: int, mode: str,
                  diameter_m: float | None = None,
                  mesh_fps: np.ndarray | None = None,
                  rng: np.random.RandomState | None = None,
-                 data_root: str | None = None):
+                 data_root: str | None = None,
+                 detections_file: str | None = None):
         d = cfg.data
         self.cfg = cfg
         self.cls_id = int(cls_id)
@@ -86,7 +94,7 @@ class PoseDataset:
         self.mesh_fps = mesh_fps
         self.mesh_pts = mesh_fps[:, :3]
 
-        if mode == "test":
+        if mode in ("test", "infer"):
             self.gt_match_th_m = 0.02  # evaluator-side labels only
         elif d.name == "ycbv":
             assert diameter_m is not None
@@ -102,13 +110,19 @@ class PoseDataset:
         self.pbr_annos: list[bop.Record] = []
         for subset in subsets:
             dets = None
-            if mode == "test":
+            if mode in ("test", "infer"):
                 dets = bop.load_detections(
-                    osp.join(root, subset, "real_det.json"))
-            recs, _ = bop.build_index(
-                root, subset, d.obj_ids, mode, im_hw=self.im_hw,
-                selected_id=cls_id if mode == "train" else None,
-                detections=dets)
+                    detections_file
+                    or osp.join(root, subset, "real_det.json"))
+            if mode == "infer":
+                recs, _ = bop.build_index_infer(
+                    root, subset, d.obj_ids, im_hw=self.im_hw,
+                    detections=dets, selected_id=cls_id)
+            else:
+                recs, _ = bop.build_index(
+                    root, subset, d.obj_ids, mode, im_hw=self.im_hw,
+                    selected_id=cls_id if mode == "train" else None,
+                    detections=dets)
             if mode == "test":
                 # per-object evaluation: this dataset's GT-gen mesh is
                 # cls_id's, so keep only its instances (the reference test
@@ -164,8 +178,12 @@ class PoseDataset:
             rgb = np.array(ri)[:, :, :3]
         with Image.open(rec.depth_file) as di:
             dpt = np.array(di).astype(np.float32)
-        with Image.open(rec.mask_file) as li:
-            mask = np.array(li)
+        no_gt = not rec.mask_file                   # infer mode records
+        if no_gt:
+            mask = np.zeros(rgb.shape[:2], np.uint8)
+        else:
+            with Image.open(rec.mask_file) as li:
+                mask = np.array(li)
         if rec.img_type in ("pbr", "test"):
             dpt_m = dpt / rec.depth_factor
         else:
@@ -174,7 +192,7 @@ class PoseDataset:
         K = rec.cam_K
 
         det = 1
-        if self.mode == "test":
+        if self.mode in ("test", "infer"):
             if rec.bbox_est is not None and rec.bbox_est[2] != 0:
                 bbox = rec.bbox_est
             else:
@@ -186,7 +204,7 @@ class PoseDataset:
         dcfg = self.cfg.data
         center, scale = bop.aug_bbox_dzi(
             bbox, rng, dcfg.dzi_scale_ratio, dcfg.dzi_shift_ratio,
-            dcfg.dzi_pad_ratio, self.im_hw, test=self.mode == "test")
+            dcfg.dzi_pad_ratio, self.im_hw, test=self.mode != "train")
 
         S = self.in_size
         rgb_c = crop_resize_by_warp_affine(
@@ -238,11 +256,21 @@ class PoseDataset:
         labels_pt = mask_c.ravel()[choose].astype(np.int32)
         labels_pt[labels_pt == 255] = 1
 
-        labels, match_idx, visible_flag, valid = pose_gt_info(
-            cld, labels_pt, rec.pose, self.mesh_pts,
-            nn_dist_th=self.gt_match_th_m)
-        if self.mode == "train" and not valid:
-            return None
+        if no_gt:
+            # deployment inference: no GT pose/mask exists — labels and
+            # correspondences are placeholders (the model's seg head and
+            # similarity argmax drive the pose fit; these keys are only
+            # consumed by losses/metrics)
+            labels = np.zeros(self.n_sample, np.int32)
+            match_idx = np.full(self.n_sample, len(self.mesh_pts),
+                                np.int32)
+            visible_flag = np.zeros(len(self.mesh_pts), np.uint8)
+        else:
+            labels, match_idx, visible_flag, valid = pose_gt_info(
+                cld, labels_pt, rec.pose, self.mesh_pts,
+                nn_dist_th=self.gt_match_th_m)
+            if self.mode == "train" and not valid:
+                return None
 
         item = {
             "rgb_u8": rgb_c.astype(np.uint8),
@@ -257,7 +285,7 @@ class PoseDataset:
             "RT": rec.pose.astype(np.float32),
             "K": K.astype(np.float32),
         }
-        if self.mode == "test":
+        if self.mode in ("test", "infer"):
             item["cls_id"] = np.int32(rec.obj_id)
             item["det"] = np.int32(det)
             item["file_name"] = rec.file_name

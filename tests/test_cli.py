@@ -183,6 +183,28 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
         assert results_t["recalls"]["ape"][m] == \
             results["recalls"]["ape"][m], m
 
+    # --- GT-less deployment inference (cli infer) ---------------------
+    # Same checkpoint, but the dataset path reads ONLY rgb/depth/
+    # scene_camera + detections (no scene_gt, no masks).  Re-scoring the
+    # infer CSV against GT must reproduce the online eval metrics: the
+    # deterministic per-index sampling makes the predictions identical.
+    infer_csv = osp.join(str(tmp_path_factory.mktemp("inf")), "poses.csv")
+    inf = cli.main([
+        "infer", "--dataset", "lmo", "--data-root", bop_root,
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2",
+        "--devices", "2", "--num-workers", "2", "--knn-chunk", "64",
+        "--output", infer_csv,
+    ])
+    assert inf["n"] == 4 and osp.exists(infer_csv)
+    scored_inf = cli.main([
+        "score", "--dataset", "lmo", "--data-root", bop_root,
+        "--csv", infer_csv])
+    assert scored_inf["errors"]["ape"]["ad"] == pytest.approx(
+        results["errors"]["ape"]["ad"], abs=1e-7)
+    for m in ("ad_10", "re_5", "te_5", "proj_5"):
+        assert scored_inf["recalls"]["ape"][m] == \
+            results["recalls"]["ape"][m], m
+
 
 @pytest.fixture(scope="module")
 def bop_root_2obj(tmp_path_factory):

@@ -200,6 +200,30 @@ class TestDataset:
         assert s["cls_id"] == 1
         assert s["file_name"] == "000000/000000"
 
+    def test_infer_mode_needs_no_gt(self, bop_root):
+        """'infer' builds items from rgb/depth/scene_camera/detections
+        only: GT-derived keys are placeholders, and the point sampling
+        is identical to test mode (same per-index rng + detector crop),
+        so deployment predictions match eval predictions exactly."""
+        ds = PoseDataset(_mini_config(), 1, "infer", diameter_m=0.1,
+                         data_root=bop_root)
+        ds_t = PoseDataset(_mini_config(), 1, "test", diameter_m=0.1,
+                           data_root=bop_root)
+        assert len(ds) == len(ds_t) == 4
+        s, st = ds[0], ds_t[0]
+        assert s["file_name"] == st["file_name"]
+        assert s["det"] == 1
+        # GT placeholders
+        assert s["labels"].sum() == 0
+        assert (s["match_idx"] == N_MESH).all()
+        assert s["visible_flag"].sum() == 0
+        assert np.all(s["RT"] == 0)
+        # the inference-path inputs are bit-identical to test mode
+        np.testing.assert_array_equal(s["rgb_u8"], st["rgb_u8"])
+        np.testing.assert_array_equal(s["dpt_m"], st["dpt_m"])
+        np.testing.assert_array_equal(s["choose"], st["choose"])
+        np.testing.assert_allclose(s["K_crop"], st["K_crop"], rtol=1e-6)
+
 
 class TestLoaderAndFinalize:
     def test_loader_shards_and_collates(self, bop_root):
