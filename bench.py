@@ -24,7 +24,10 @@ queue ran without serialising the pipeline.
 
 Also measures the b=24 training step (samples/sec, f32 and bf16) so
 training throughput is driver-visible, not prose-only.  Set
-GDM_BENCH_TRAIN=0 to skip (two extra compiles).
+GDM_BENCH_TRAIN=0 to skip (two extra compiles).  `fps_bf16` reports the
+bfloat16-activation eval forward (the `--opt model.compute_dtype`
+option; ~4% faster, identical synthetic convergence) — GDM_BENCH_BF16=0
+skips it.
 
 Prints exactly one JSON line.
 """
@@ -384,6 +387,21 @@ def main():
         "batch": int(data["rgb"].shape[0]),
         "device": str(accel.platform),
     }
+
+    if os.environ.get("GDM_BENCH_BF16", "1") != "0":
+        try:
+            import jax.numpy as jnp
+
+            model_bf16 = GeoMatch(compute_dtype=jnp.bfloat16)
+            vars_bf16 = jax.jit(
+                lambda r, inp, m: model_bf16.init(r, inp, m, train=False)
+            )(jax.random.PRNGKey(0), sample_inputs, mesh)
+            result["fps_bf16"] = round(run_on(
+                accel, data, mesh, model_bf16, vars_bf16, mesh.xyz,
+                iters=15, warmup=3), 3)
+        except Exception as e:   # optional extra — never cost the headline
+            result["fps_bf16"] = None
+            result["fps_bf16_error"] = str(e)[:120]
 
     if os.environ.get("GDM_BENCH_TRAIN", "1") != "0":
         for dt_name, key in (("float32", "train_sps_b24_f32"),

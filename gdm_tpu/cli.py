@@ -243,6 +243,87 @@ def _device_batch(batch, mesh_dev, fill_depth):
     return finalize_batch(dev, fill_depth=fill_depth)
 
 
+class _ValContext:
+    """Lazy per-object validation harness for `train --eval-every`.
+
+    Runs the full inference path (pyramid + forward + on-device pose
+    fit) over the object's test split and reports ADD(-S) recall@0.1d
+    and the VOC AUC — the headline numbers `eval` computes — without the
+    full Evaluator bookkeeping.  Built lazily so training without a test
+    split (common for pbr-only roots) costs nothing but a warning.
+    """
+
+    def __init__(self, cfg, refd, cls_id, args, diameter_m, log):
+        self.ok = False
+        self.log = log
+        try:
+            from gdm_tpu.data.dataset import PoseDataset
+            from gdm_tpu.data.loader import DataLoader
+
+            ds = PoseDataset(cfg, cls_id, "test", diameter_m=diameter_m,
+                             data_root=args.data_root)
+            if len(ds) == 0:
+                log.warning("--eval-every: no test annotations for "
+                            "cls %d — skipping validation", cls_id)
+                return
+            self.bs = min(args.batch_size or cfg.solver.val_batch_size,
+                          max(len(ds), 1))
+            self.dl = DataLoader(ds, self.bs, shuffle=False,
+                                 drop_last=False,
+                                 num_workers=args.num_workers,
+                                 workers=args.loader_workers)
+            obj_name = refd.id2obj[cls_id]
+            self.is_sym = obj_name in cfg.data.sym_objs
+            self.diameter = diameter_m
+            self.gts = _gts_from_annos(ds)
+            self.fill_depth = cfg.data.fill_depth
+            self.knn_chunk = args.knn_chunk
+            self.jits = None
+            self.ok = True
+        except (FileNotFoundError, OSError) as e:
+            log.warning("--eval-every: test split unavailable (%s) — "
+                        "skipping validation", e)
+
+    def run(self, state, mesh_input, mesh_xyz, dev_mesh, needs_pyramid,
+            models_pts):
+        """Returns {'val_add_auc', 'val_ad_10', 'val_frames'} or None."""
+        import jax
+
+        from gdm_tpu.eval.metrics import add_err, adi_err, voc_auc
+
+        if not self.ok:
+            return None
+        if self.jits is None:
+            self.jits = _make_infer_jits(needs_pyramid, self.knn_chunk,
+                                         False, None)
+        encode_mesh, infer_step = self.jits
+        mesh_feats = encode_mesh(state, mesh_input)
+        errs = []
+        for batch, meta in self.dl:
+            n_real = batch["rgb_u8"].shape[0]
+            if n_real < self.bs:
+                pad = self.bs - n_real
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, 0)]) for k, v in
+                    batch.items()}
+            fin = _device_batch(batch, dev_mesh, self.fill_depth)
+            poses = jax.device_get(
+                infer_step(state, fin, mesh_input, mesh_feats, mesh_xyz,
+                           np.float32(0.01)))
+            for i in range(n_real):
+                gt = self.gts[meta[i]["file_name"]]
+                err_fn = adi_err if self.is_sym else add_err
+                errs.append(err_fn(
+                    poses[i][:, :3], poses[i][:, 3],
+                    gt["R"], gt["t"], models_pts))
+        return {
+            "val_add_auc": float(voc_auc(errs, max_dis=0.1)),
+            "val_ad_10": float(np.mean(
+                np.asarray(errs) < 0.1 * self.diameter) * 100.0),
+            "val_frames": len(errs),
+        }
+
+
 def train(args):
     import jax
 
@@ -312,10 +393,15 @@ def train(args):
                         workers=args.loader_workers)
         log.info("%d samples, %d steps/epoch", len(ds), len(dl))
 
-        model_i, mesh_input, _, needs_pyramid = _make_model(
+        model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
             cfg, diameter_m, mesh_fps, mesh_arr)
         if model is None:
             model = model_i
+        val_ctx = None
+        if args.eval_every and jax.process_count() == 1:
+            val_ctx = _ValContext(cfg, refd, cls_id, args, diameter_m, log)
+        elif args.eval_every:
+            log.warning("--eval-every is single-host only; skipping")
         positive_r = (cfg.model.neighbor_dis_th * diameter_m
                       if needs_pyramid else None)
         # step_size follows the reference's epochs*len/bs/div/n_replicas
@@ -332,6 +418,7 @@ def train(args):
         sample_inputs = _train_inputs(fin0, args.knn_chunk, needs_pyramid,
                                       positive_r)
         mesh_input = replicate(mesh_input, dev_mesh)
+        mesh_xyz = replicate(mesh_xyz, dev_mesh)
         state = create_train_state(
             model, jax.random.PRNGKey(args.seed + cls_id), sample_inputs,
             mesh_input, lr, weight_decay=sol.weight_decay, tx=tx)
@@ -397,6 +484,21 @@ def train(args):
                     or epoch + 1 == epochs):
                 path = save_checkpoint(state, ckpt_dir, epoch)
                 log.info("checkpoint -> %s", path)
+            if val_ctx is not None and (
+                    (epoch + 1) % args.eval_every == 0
+                    or epoch + 1 == epochs):
+                # validation on the kps model points (the eval command
+                # uses models_eval PLYs when present; kps points are the
+                # same cloud the matching head is trained against)
+                val = val_ctx.run(state, mesh_input, mesh_xyz, dev_mesh,
+                                  needs_pyramid, mesh_fps[:, :3])
+                if val is not None:
+                    log.info("epoch %d val: add_auc %.2f ad_10 %.2f%% "
+                             "(%d frames)", epoch, val["val_add_auc"],
+                             val["val_ad_10"], val["val_frames"])
+                    if mlog is not None:
+                        mlog.write({"obj": obj_name, "epoch": epoch,
+                                    **val})
         if mlog is not None:
             mlog.close()
     return state
@@ -855,6 +957,11 @@ def build_parser():
                         "config sequentially (one shared compile)")
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--eval-every", type=int, default=None,
+                   help="validate on the test split every N epochs "
+                        "(ADD(-S) recall@0.1d + VOC AUC, logged to the "
+                        "console and the metrics JSONL; single-host "
+                        "only; skipped when no test split exists)")
 
     e = sub.add_parser("eval", help="evaluate checkpoints on the test set")
     common(e)

@@ -66,12 +66,23 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
         "train", "--dataset", "lmo", "--data-root", bop_root,
         "--ckpt-root", ckpt_root, "--cls-id", "1", "--epochs", "1",
         "--batch-size", "2", "--devices", "2", "--num-workers", "2", "--knn-chunk", "64",
+        "--eval-every", "1",
     ])
     assert state is not None
     ckpt_dir = osp.join(ckpt_root, "checkpoints", "ape")
     assert osp.exists(osp.join(ckpt_dir, "latest"))
     with open(osp.join(ckpt_dir, "latest")) as f:
         assert f.read().strip() == "epoch_0000"
+    # observability: JSONL metrics stream with train records and the
+    # --eval-every validation record (ADD AUC on the test split)
+    import json
+
+    with open(osp.join(ckpt_root, "metrics", "ape.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert any("loss" in r and "samples_per_sec" in r for r in recs)
+    val = [r for r in recs if "val_add_auc" in r]
+    assert val and val[-1]["val_frames"] == 4
+    assert 0.0 <= val[-1]["val_add_auc"] <= 100.0
 
     # --resume picks up from the latest checkpoint (train_lm.py:118-146
     # parity): asking for 2 epochs after 1 is done trains exactly one
