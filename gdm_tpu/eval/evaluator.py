@@ -191,7 +191,7 @@ class Evaluator:
                         f"{self.obj2id.get(obj_name, -1)},-1,"
                         f"{' '.join(map(str, R_pred.flatten().tolist()))},"
                         f"{' '.join(map(str, (t_pred * 1000).flatten().tolist()))},"
-                        f"-1")
+                        f"{pred.get('time', -1)}")
 
                 t_error = te_err(t_pred, t_gt)
                 if is_sym:
