@@ -243,6 +243,18 @@ def _device_batch(batch, mesh_dev, fill_depth):
     return finalize_batch(dev, fill_depth=fill_depth)
 
 
+def _pad_batch(batch: dict, bs: int) -> dict:
+    """Pad a trailing partial batch to the compiled batch size by
+    repeating its last row (shared by the eval/infer/validation loops —
+    callers slice results back to the real row count)."""
+    n_real = next(iter(batch.values())).shape[0]
+    if n_real >= bs:
+        return batch
+    pad = bs - n_real
+    return {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+            for k, v in batch.items()}
+
+
 class _ValContext:
     """Lazy per-object validation harness for `train --eval-every`.
 
@@ -251,11 +263,17 @@ class _ValContext:
     and the VOC AUC — the headline numbers `eval` computes — without the
     full Evaluator bookkeeping.  Built lazily so training without a test
     split (common for pbr-only roots) costs nothing but a warning.
+
+    `shared_jits` must be the SAME (encode_mesh, infer_step) pair for
+    every object — objects share shapes, so one compile serves all
+    (CLAUDE.md: don't reintroduce per-object jit defs).
     """
 
-    def __init__(self, cfg, refd, cls_id, args, diameter_m, log):
+    def __init__(self, cfg, refd, cls_id, args, diameter_m, log, n_dev,
+                 shared_jits):
         self.ok = False
         self.log = log
+        self.jits = shared_jits
         try:
             from gdm_tpu.data.dataset import PoseDataset
             from gdm_tpu.data.loader import DataLoader
@@ -266,8 +284,11 @@ class _ValContext:
                 log.warning("--eval-every: no test annotations for "
                             "cls %d — skipping validation", cls_id)
                 return
-            self.bs = min(args.batch_size or cfg.solver.val_batch_size,
-                          max(len(ds), 1))
+            # batch must stay divisible by the device mesh (shard_batch
+            # device_puts a P('data') layout); round down, floor n_dev
+            bs = min(args.batch_size or cfg.solver.val_batch_size,
+                     max(len(ds), 1))
+            self.bs = max(bs - bs % n_dev, n_dev)
             self.dl = DataLoader(ds, self.bs, shuffle=False,
                                  drop_last=False,
                                  num_workers=args.num_workers,
@@ -277,15 +298,12 @@ class _ValContext:
             self.diameter = diameter_m
             self.gts = _gts_from_annos(ds)
             self.fill_depth = cfg.data.fill_depth
-            self.knn_chunk = args.knn_chunk
-            self.jits = None
             self.ok = True
-        except (FileNotFoundError, OSError) as e:
+        except OSError as e:
             log.warning("--eval-every: test split unavailable (%s) — "
                         "skipping validation", e)
 
-    def run(self, state, mesh_input, mesh_xyz, dev_mesh, needs_pyramid,
-            models_pts):
+    def run(self, state, mesh_input, mesh_xyz, dev_mesh, models_pts):
         """Returns {'val_add_auc', 'val_ad_10', 'val_frames'} or None."""
         import jax
 
@@ -293,19 +311,12 @@ class _ValContext:
 
         if not self.ok:
             return None
-        if self.jits is None:
-            self.jits = _make_infer_jits(needs_pyramid, self.knn_chunk,
-                                         False, None)
         encode_mesh, infer_step = self.jits
         mesh_feats = encode_mesh(state, mesh_input)
         errs = []
         for batch, meta in self.dl:
             n_real = batch["rgb_u8"].shape[0]
-            if n_real < self.bs:
-                pad = self.bs - n_real
-                batch = {k: np.concatenate(
-                    [v, np.repeat(v[-1:], pad, 0)]) for k, v in
-                    batch.items()}
+            batch = _pad_batch(batch, self.bs)
             fin = _device_batch(batch, dev_mesh, self.fill_depth)
             poses = jax.device_get(
                 infer_step(state, fin, mesh_input, mesh_feats, mesh_xyz,
@@ -370,6 +381,7 @@ def train(args):
     model = None
     state = None
     lr = None
+    val_jits = None
 
     for cls_id in cls_ids:
         obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
@@ -399,7 +411,11 @@ def train(args):
             model = model_i
         val_ctx = None
         if args.eval_every and jax.process_count() == 1:
-            val_ctx = _ValContext(cfg, refd, cls_id, args, diameter_m, log)
+            if val_jits is None:    # ONE compile serves every object
+                val_jits = _make_infer_jits(needs_pyramid,
+                                            args.knn_chunk, False, None)
+            val_ctx = _ValContext(cfg, refd, cls_id, args, diameter_m,
+                                  log, n_dev, val_jits)
         elif args.eval_every:
             log.warning("--eval-every is single-host only; skipping")
         positive_r = (cfg.model.neighbor_dis_th * diameter_m
@@ -472,7 +488,9 @@ def train(args):
                             "step": step, "loss": m["loss"],
                             "seg_loss": m["seg_loss"],
                             "match_loss": m["match_loss"],
-                            "lr": float(lr(step)),
+                            # step is fetched POST-update; the update just
+                            # logged was computed at schedule count step-1
+                            "lr": float(lr(max(step - 1, 0))),
                             "bn_momentum": m["bn_momentum"],
                             "samples_per_sec": round(sps, 2),
                             "total_notfinite": nf,
@@ -491,7 +509,7 @@ def train(args):
                 # uses models_eval PLYs when present; kps points are the
                 # same cloud the matching head is trained against)
                 val = val_ctx.run(state, mesh_input, mesh_xyz, dev_mesh,
-                                  needs_pyramid, mesh_fps[:, :3])
+                                  mesh_fps[:, :3])
                 if val is not None:
                     log.info("epoch %d val: add_auc %.2f ad_10 %.2f%% "
                              "(%d frames)", epoch, val["val_add_auc"],
@@ -620,12 +638,9 @@ def evaluate(args):
         for batch, meta in dl:
             # pad the trailing partial batch to this host's compiled size
             n_real = batch["rgb_u8"].shape[0]
-            if n_real < host_bs:
-                pad = host_bs - n_real
-                batch = {k: np.concatenate(
-                    [v, np.repeat(v[-1:], pad, 0)]) for k, v in
-                    batch.items()}
+            batch = _pad_batch(batch, host_bs)
             fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
+            warm = False
             if state is None:
                 if state_template is None:
                     # init runs in train mode (awl params), so the sample
@@ -656,6 +671,13 @@ def evaluate(args):
                 state = replicate(state, dev_mesh)
             if mesh_feats is None:
                 mesh_feats = encode_mesh(state, mesh_input)
+                warm = True
+            if warm:
+                # absorb the first-batch compile + the queued encode_mesh
+                # so the per-frame time recorded in the CSV is a compute
+                # time, not a compile time (CLAUDE.md timing gotcha)
+                local_rows(infer(state, fin, mesh_input, mesh_feats,
+                                 mesh_xyz, np.float32(icp_reject)))
             t0 = time.perf_counter()
             # local_rows: on multi-host runs each process fetches the
             # rows it loaded (device_get of non-addressable shards
@@ -663,7 +685,8 @@ def evaluate(args):
             poses = local_rows(
                 infer(state, fin, mesh_input, mesh_feats, mesh_xyz,
                       np.float32(icp_reject)))
-            dt = (time.perf_counter() - t0) / n_real
+            # divide by the PADDED size: the device computed host_bs rows
+            dt = (time.perf_counter() - t0) / host_bs
             for i in range(n_real):
                 evaluator.add_prediction(
                     obj_name, meta[i]["file_name"], poses[i][:, :3],
@@ -764,12 +787,9 @@ def infer(args):
         n_done = 0
         for batch, meta in dl:
             n_real = batch["rgb_u8"].shape[0]
-            if n_real < host_bs:
-                pad = host_bs - n_real
-                batch = {k: np.concatenate(
-                    [v, np.repeat(v[-1:], pad, 0)]) for k, v in
-                    batch.items()}
+            batch = _pad_batch(batch, host_bs)
             fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
+            warm = False
             if state is None:
                 if state_template is None:
                     sample_inputs = _train_inputs(
@@ -793,11 +813,17 @@ def infer(args):
                 state = replicate(state, dev_mesh)
             if mesh_feats is None:
                 mesh_feats = encode_mesh(state, mesh_input)
+                warm = True
+            if warm:
+                # absorb first-batch compile + queued encode_mesh so the
+                # CSV time column records compute, not compile
+                local_rows(infer_step(state, fin, mesh_input, mesh_feats,
+                                      mesh_xyz, np.float32(icp_reject)))
             t0 = time.perf_counter()
             poses = local_rows(
                 infer_step(state, fin, mesh_input, mesh_feats, mesh_xyz,
                            np.float32(icp_reject)))
-            dt = (time.perf_counter() - t0) / n_real
+            dt = (time.perf_counter() - t0) / host_bs
             for i in range(n_real):
                 rows.append((meta[i]["file_name"], cls_id,
                              np.asarray(poses[i], np.float64), dt))

@@ -67,6 +67,36 @@ def load_detections(path: str) -> dict:
     return best
 
 
+def _read_frame_index(img_root: str) -> list[tuple[int, int]]:
+    """Sorted (scene_id, im_id) pairs from the subset's train.txt."""
+    pairs = []
+    with open(osp.join(img_root, "train.txt"), "r") as f:
+        for line in f:
+            s, i = line.strip("\r\n").split("/")[:2]
+            pairs.append((int(s), int(i)))
+    return sorted(pairs)
+
+
+def _frame_camera(cam_cache: dict, img_root: str, scene_id: int,
+                  im_id: int):
+    """(K [3,3] f32, depth_factor) from the scene_camera.json cache."""
+    if scene_id not in cam_cache:
+        cam_cache[scene_id] = _load_json(osp.join(
+            img_root, f"{scene_id:06d}", "scene_camera.json"))
+    cam = cam_cache[scene_id][str(im_id)]
+    K = np.array(cam["cam_K"], np.float32).reshape(3, 3)
+    return K, 1000.0 / cam["depth_scale"]
+
+
+def _clamp_box(x1, y1, x2, y2, im_w, im_h):
+    """Image-clipped xyxy tuple, or None when degenerate (<=1 px side)."""
+    box = (max(min(x1, im_w), 0), max(min(y1, im_h), 0),
+           max(min(x2, im_w), 0), max(min(y2, im_h), 0))
+    if box[2] - box[0] <= 1 or box[3] - box[1] <= 1:
+        return None
+    return box
+
+
 def _img_type(subset: str, mode: str) -> str:
     """'pbr' | 'synt' | 'real' | 'test' per subset name.
 
@@ -109,7 +139,6 @@ def build_index(
       detections: preloaded load_detections() result (test mode).
     """
     img_root = osp.join(data_root, subset)
-    idx_file = osp.join(img_root, "train.txt")
     im_h, im_w = im_hw
     obj_ids = list(obj_ids)
     stats = IndexStats(
@@ -117,27 +146,17 @@ def build_index(
         found_det={o: 0 for o in obj_ids})
     img_ext = "jpg" if "pbr" in subset else "png"
 
-    scene_im_ids = []
-    with open(idx_file, "r") as f:
-        for line in f:
-            s, i = line.strip("\r\n").split("/")[:2]
-            scene_im_ids.append((int(s), int(i)))
-    scene_im_ids = sorted(scene_im_ids)
-
     gt_cache, info_cache, cam_cache = {}, {}, {}
     records = []
-    for scene_id, im_id in scene_im_ids:
+    for scene_id, im_id in _read_frame_index(img_root):
         if scene_id not in gt_cache:
             sdir = osp.join(img_root, f"{scene_id:06d}")
             gt_cache[scene_id] = _load_json(osp.join(sdir, "scene_gt.json"))
             info_cache[scene_id] = _load_json(
                 osp.join(sdir, "scene_gt_info.json"))
-            cam_cache[scene_id] = _load_json(
-                osp.join(sdir, "scene_camera.json"))
         key = str(im_id)
-        cam = cam_cache[scene_id][key]
-        K = np.array(cam["cam_K"], np.float32).reshape(3, 3)
-        depth_factor = 1000.0 / cam["depth_scale"]
+        K, depth_factor = _frame_camera(cam_cache, img_root, scene_id,
+                                        im_id)
         base = osp.join(img_root, f"{scene_id:06d}")
         rgb_path = osp.join(base, f"rgb/{im_id:06d}.{img_ext}")
         depth_path = osp.join(base, f"depth/{im_id:06d}.png")
@@ -156,9 +175,8 @@ def build_index(
             pose = np.hstack([R, t.reshape(3, 1)])
 
             x1, y1, w, h = info["bbox_obj"]
-            bbox = (max(min(x1, im_w), 0), max(min(y1, im_h), 0),
-                    max(min(x1 + w, im_w), 0), max(min(y1 + h, im_h), 0))
-            if bbox[2] - bbox[0] <= 1 or bbox[3] - bbox[1] <= 1:
+            bbox = _clamp_box(x1, y1, x1 + w, y1 + h, im_w, im_h)
+            if bbox is None:
                 stats.invalid_box += 1
                 continue
 
@@ -209,28 +227,19 @@ def build_index_infer(
         found_det={o: 0 for o in obj_ids})
     img_ext = "jpg" if "pbr" in subset else "png"
 
-    idx_file = osp.join(img_root, "train.txt")
-    if osp.exists(idx_file):
-        scene_im_ids = []
-        with open(idx_file, "r") as f:
-            for line in f:
-                s, i = line.strip("\r\n").split("/")[:2]
-                scene_im_ids.append((int(s), int(i)))
+    if osp.exists(osp.join(img_root, "train.txt")):
+        scene_im_ids = _read_frame_index(img_root)
     else:
-        scene_im_ids = [tuple(int(v) for v in key.split("/")[:2])
-                        for key in detections]
-    scene_im_ids = sorted(set(scene_im_ids))
+        scene_im_ids = sorted(set(
+            tuple(int(v) for v in key.split("/")[:2])
+            for key in detections))
 
     cam_cache = {}
     records = []
     no_pose = np.zeros((3, 4), np.float32)
     for scene_id, im_id in scene_im_ids:
-        if scene_id not in cam_cache:
-            cam_cache[scene_id] = _load_json(osp.join(
-                img_root, f"{scene_id:06d}", "scene_camera.json"))
-        cam = cam_cache[scene_id][str(im_id)]
-        K = np.array(cam["cam_K"], np.float32).reshape(3, 3)
-        depth_factor = 1000.0 / cam["depth_scale"]
+        K, depth_factor = _frame_camera(cam_cache, img_root, scene_id,
+                                        im_id)
         base = osp.join(img_root, f"{scene_id:06d}")
         dets = detections.get(f"{scene_id}/{im_id}", {})
         for obj_id in obj_ids:
@@ -241,9 +250,8 @@ def build_index_infer(
                 stats.missed_det[obj_id] += 1
                 continue
             x1, y1, x2, y2 = box
-            box = (max(min(x1, im_w), 0), max(min(y1, im_h), 0),
-                   max(min(x2, im_w), 0), max(min(y2, im_h), 0))
-            if box[2] - box[0] <= 1 or box[3] - box[1] <= 1:
+            box = _clamp_box(x1, y1, x2, y2, im_w, im_h)
+            if box is None:
                 stats.invalid_box += 1
                 continue
             stats.found_det[obj_id] += 1

@@ -39,10 +39,31 @@ def save_checkpoint(state, ckpt_dir: str, epoch: int):
     return path
 
 
+def _fresh_guard(inner_state):
+    """A zeroed optax.ApplyIfFiniteState around an inner opt state."""
+    import jax.numpy as jnp
+    import optax
+
+    return optax.ApplyIfFiniteState(
+        notfinite_count=jnp.zeros([], jnp.int32),
+        last_finite=jnp.asarray(True),
+        total_notfinite=jnp.zeros([], jnp.int32),
+        inner_state=inner_state,
+    )
+
+
 def load_checkpoint(state, ckpt_dir: str, name: str | None = None):
     """Restore into a TrainState; returns (state, epoch) or (state, None)
     when no checkpoint exists (load_checkpoint parity incl. the miss
-    path, train_lm.py:118-146)."""
+    path, train_lm.py:118-146).
+
+    The opt_state layout depends on solver.skip_nonfinite (the
+    apply_if_finite wrapper, train.state.make_optimizer).  When the
+    checkpoint was written with the OTHER layout, the restore is retried
+    against the alternate target and the guard counters are reset /
+    dropped — so old checkpoints keep loading after the guard was turned
+    on (and vice versa) instead of failing deep inside orbax.
+    """
     ckpt_dir = osp.abspath(ckpt_dir)
     latest = osp.join(ckpt_dir, "latest")
     if name is None:
@@ -54,12 +75,30 @@ def load_checkpoint(state, ckpt_dir: str, name: str | None = None):
     if not osp.exists(path):
         return state, None
     target = _to_saveable(state, 0)
+    guarded = hasattr(state.opt_state, "inner_state")
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, target)
+        try:
+            restored = ckptr.restore(path, target)
+            opt_state = restored["opt_state"]
+        except Exception as e:   # layout mismatch: try the other wrap
+            alt = dict(target)
+            alt["opt_state"] = (state.opt_state.inner_state if guarded
+                                else _fresh_guard(state.opt_state))
+            try:
+                restored = ckptr.restore(path, alt)
+            except Exception:
+                raise ValueError(
+                    f"checkpoint {path} does not match the optimizer "
+                    f"layout for solver.skip_nonfinite="
+                    f"{'on' if guarded else 'off'} nor its alternate — "
+                    f"was it written by a different optimizer config "
+                    f"(weight_decay)?") from e
+            opt_state = (_fresh_guard(restored["opt_state"]) if guarded
+                         else restored["opt_state"].inner_state)
     new_state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        opt_state=opt_state,
         step=jax.numpy.asarray(restored["step"]),
     )
     return new_state, int(restored["epoch"])

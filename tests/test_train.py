@@ -189,6 +189,32 @@ class TestNonfiniteGuard:
             assert epoch == 0
             assert int(restored.opt_state.total_notfinite) == 1
 
+            # cross-layout migration: a GUARDED checkpoint restores into
+            # an UNGUARDED template (guard counters dropped) ...
+            restored_u, epoch_u = load_checkpoint(
+                shared.state0, osp.join(d, "obj"))
+            assert epoch_u == 0
+            assert not hasattr(restored_u.opt_state, "total_notfinite")
+            for a, b in zip(
+                    jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(restored_u.params)):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))
+
+        # ... and an UNGUARDED checkpoint restores into a GUARDED
+        # template (fresh zeroed counters) — old checkpoints keep
+        # loading after solver.skip_nonfinite changes the layout
+        with tempfile.TemporaryDirectory() as d:
+            save_checkpoint(shared.state0, osp.join(d, "obj"), epoch=2)
+            restored_g, epoch_g = load_checkpoint(state, osp.join(d, "obj"))
+            assert epoch_g == 2
+            assert int(restored_g.opt_state.total_notfinite) == 0
+            for a, b in zip(
+                    jax.tree_util.tree_leaves(shared.state0.params),
+                    jax.tree_util.tree_leaves(restored_g.params)):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))
+
 
 class TestJsonlLogger:
     def test_writes_and_appends(self, tmp_path):
