@@ -207,3 +207,162 @@ def render_depth_window(
     buf, _ = jax.lax.scan(body, buf, reshaped)
     depth = buf.reshape(h, w)
     return jnp.where(jnp.isfinite(depth), depth, 0.0)
+
+
+def bin_faces_to_tiles(p: np.ndarray, valid: np.ndarray, faces: np.ndarray,
+                       side: int, tile: int,
+                       k_pad: int | None = None) -> np.ndarray:
+    """Host-side face->raster-tile binning for the gather renderer.
+
+    Args:
+      p:     [F, 3, 2] projected window-pixel vertex coords (numpy).
+      valid: [F] bool — faces that can contribute (vsd._visible_face_idx
+             semantics: in front, non-degenerate, window-intersecting,
+             optionally front-facing).
+      faces: [F, 3] int32 vertex indices.
+      side:  window side (multiple of `tile`).
+      tile:  raster tile size; every valid face's bbox must fit in
+             tile-2 px (subdivide_max_edge bound) so a face overlaps at
+             most 2x2 grid tiles.
+      k_pad: pad the per-tile candidate count to this (None = max
+             occupancy).  Callers bucket it so compiles are shared.
+
+    Returns:
+      [G, k, 3] int32 candidate vertex-index triples per tile (G =
+      (side/tile)^2, row-major tiles), zero-padded — an all-zero triple
+      is degenerate and skipped by the renderer's area test.
+    """
+    g = side // tile
+    assert g * tile == side, (side, tile)
+    vi = np.where(valid)[0]
+    if len(vi) == 0:
+        return np.zeros((g * g, k_pad or 1, 3), np.int32)
+    pv = p[vi]
+    bmin = np.floor(pv.min(axis=1))                       # [f, 2]
+    bmax = np.floor(pv.max(axis=1))
+    tx0 = np.clip(bmin[:, 0] // tile, 0, g - 1).astype(np.int64)
+    tx1 = np.clip(bmax[:, 0] // tile, 0, g - 1).astype(np.int64)
+    ty0 = np.clip(bmin[:, 1] // tile, 0, g - 1).astype(np.int64)
+    ty1 = np.clip(bmax[:, 1] // tile, 0, g - 1).astype(np.int64)
+    pairs_t, pairs_f = [], []
+    for dy in (0, 1):
+        ty = np.minimum(ty0 + dy, ty1)
+        for dx in (0, 1):
+            tx = np.minimum(tx0 + dx, tx1)
+            keep = np.ones(len(vi), bool)
+            if dx:
+                keep &= tx1 > tx0
+            if dy:
+                keep &= ty1 > ty0
+            pairs_t.append(ty[keep] * g + tx[keep])
+            pairs_f.append(vi[keep])
+    tid = np.concatenate(pairs_t)
+    fid = np.concatenate(pairs_f)
+    counts = np.bincount(tid, minlength=g * g)
+    k = int(counts.max())
+    if k_pad is not None:
+        assert k_pad >= k, (k_pad, k)
+        k = k_pad
+    order = np.argsort(tid, kind="stable")
+    tid_s, fid_s = tid[order], fid[order]
+    starts = np.zeros(g * g + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(len(tid_s)) - starts[tid_s]
+    cand = np.zeros((g * g, k, 3), np.int32)
+    cand[tid_s, slot] = faces[fid_s]
+    return cand
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tile", "cand_chunk"))
+def render_depth_window_gather(
+    verts_cam: jax.Array,
+    cand: jax.Array,
+    K: jax.Array,
+    origin: jax.Array,
+    window: tuple[int, int] = (256, 256),
+    tile: int = 32,
+    cand_chunk: int = 256,
+) -> jax.Array:
+    """Gather-formulation depth rasterizer: per-tile min-reduction.
+
+    Same math as :func:`render_depth_window` but turned inside out: the
+    host bins faces to the raster tiles their bbox overlaps
+    (:func:`bin_faces_to_tiles`), and each tile min-REDUCES the depth of
+    its candidate faces over its tile x tile pixels — a dense
+    vectorizable reduction with no scatter.  The scatter-min z-buffer
+    update is the dominant cost of the scatter form (~10 ns/update on
+    v5e); here the same pixel coverage is a VPU-bound elementwise
+    pipeline.  Bit-identical to the scatter renderer given candidates
+    that cover every (face, tile) its stamp touches: per pixel the same
+    (face, z) set competes and f32 min is order-independent.
+
+    Args:
+      verts_cam: [V, 3] camera-frame vertices (metres).
+      cand: [G, k, 3] int32 per-tile candidate vertex triples
+        (bin_faces_to_tiles output); all-zero rows are skipped.
+      K / origin / window / tile: as in render_depth_window; window
+        sides must be multiples of `tile`.
+      cand_chunk: candidates reduced per scan step — bounds the live
+        [G, chunk, tile^2] temporary.
+
+    Returns: [h, w] float32 depth; 0 where no surface.
+    """
+    h, w = window
+    gx, gy = w // tile, h // tile
+    G = gx * gy
+    s = tile * tile
+    eps = 1e-9
+    z = verts_cam[:, 2]
+    zs = jnp.maximum(z, eps)
+    u = verts_cam[:, 0] * K[0, 0] / zs + K[0, 2] - origin[0]
+    v = verts_cam[:, 1] * K[1, 1] / zs + K[1, 2] - origin[1]
+    pix = jnp.stack([u, v], axis=1)                       # [V, 2]
+
+    kc = cand.shape[1]
+    chunk = min(cand_chunk, kc)
+    pad = (-kc) % chunk
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)))
+    nc = (kc + pad) // chunk
+    cand = cand.reshape(G, nc, chunk, 3).transpose(1, 0, 2, 3)
+
+    # per-tile pixel-centre coordinates [G, s] (row-major tiles)
+    tg = jax.lax.broadcasted_iota(jnp.int32, (G, s), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, s), 1)
+    sx = ((tg % gx) * tile + lane % tile).astype(jnp.float32) + 0.5
+    sy = ((tg // gx) * tile + lane // tile).astype(jnp.float32) + 0.5
+    big = jnp.asarray(jnp.inf, jnp.float32)
+
+    def body(acc, cand_c):                                # [G, chunk, 3]
+        p = pix[cand_c]                                   # [G, chunk, 3, 2]
+        fz = z[cand_c]                                    # [G, chunk, 3]
+        front = jnp.all(fz > eps, axis=-1)
+        d01 = p[:, :, 1] - p[:, :, 0]
+        d02 = p[:, :, 2] - p[:, :, 0]
+        area = d01[..., 0] * d02[..., 1] - d01[..., 1] * d02[..., 0]
+        ok = front & (jnp.abs(area) > eps)                # [G, chunk]
+        inv_a = 1.0 / jnp.where(jnp.abs(area) > eps, area, 1.0)
+
+        def edge(a, b):
+            ax, ay = p[:, :, a, 0:1], p[:, :, a, 1:2]
+            bx, by = p[:, :, b, 0:1], p[:, :, b, 1:2]
+            return ((bx - ax) * (sy[:, None, :] - ay)
+                    - (by - ay) * (sx[:, None, :] - ax))
+
+        b0 = edge(1, 2) * inv_a[..., None]                # [G, chunk, s]
+        b1 = edge(2, 0) * inv_a[..., None]
+        b2 = edge(0, 1) * inv_a[..., None]
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+        invz = (b0 / fz[..., 0:1] + b1 / fz[..., 1:2]
+                + b2 / fz[..., 2:3])
+        zpix = 1.0 / jnp.maximum(invz, eps)
+        valid = inside & ok[..., None] & (zpix > eps)
+        zval = jnp.where(valid, zpix, big)
+        return jnp.minimum(acc, jnp.min(zval, axis=1)), None
+
+    acc0 = jnp.full((G, s), big, jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, cand)
+    depth = acc.reshape(gy, gx, tile, tile).transpose(0, 2, 1, 3)
+    depth = depth.reshape(h, w)
+    return jnp.where(jnp.isfinite(depth), depth, 0.0)

@@ -153,6 +153,105 @@ class TestRenderDepth:
         assert d.shape == (64, 64) and float(jnp.max(d)) == 0.0
 
 
+class TestGatherRenderer:
+    """Gather-formulation rasterizer (per-tile min-reduction) must match
+    the scatter z-buffer bit for bit: the same (face, pixel, z) set
+    competes per pixel and f32 min is order-independent."""
+
+    def _project_valid(self, vc, faces, Knp, origin, side, tile):
+        eps = 1e-9
+        z = vc[:, 2]
+        zs = np.maximum(z, eps)
+        u = vc[:, 0] * Knp[0, 0] / zs + Knp[0, 2] - origin[0]
+        w = vc[:, 1] * Knp[1, 1] / zs + Knp[1, 2] - origin[1]
+        p = np.stack([u, w], axis=1)[faces]
+        fz = z[faces]
+        valid = (fz > eps).all(axis=1)
+        d01 = p[:, 1] - p[:, 0]
+        d02 = p[:, 2] - p[:, 0]
+        area = d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0]
+        valid &= np.abs(area) > eps
+        bb0 = np.floor(p.min(axis=1))
+        valid &= ((bb0[:, 0] + tile > 0) & (bb0[:, 0] < side)
+                  & (bb0[:, 1] + tile > 0) & (bb0[:, 1] < side))
+        return p, valid
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_scatter_bitwise(self, seed):
+        import jax.numpy as jnp
+
+        from gdm_tpu.data.synthetic import make_object
+        from gdm_tpu.ops.render_depth import (
+            bin_faces_to_tiles,
+            render_depth_window_gather,
+        )
+        from scipy.spatial import ConvexHull
+
+        rng = np.random.RandomState(seed)
+        mesh = make_object(128, rng, radius=0.05)
+        verts = (mesh[:, :3] / 1000.0).astype(np.float32)
+        faces = ConvexHull(verts).simplices.astype(np.int32)
+        tile, side = 32, 128
+        Kw = np.array([[500.0, 0, side / 2], [0, 500.0, side / 2],
+                       [0, 0, 1]], np.float32)
+        v, f = subdivide_max_edge(verts, faces,
+                                  (tile - 2) * 0.6 / Kw[0, 0])
+        t = np.array([rng.uniform(-0.01, 0.01),
+                      rng.uniform(-0.01, 0.01), 0.7], np.float32)
+        vc = (v + t).astype(np.float32)
+        origin = np.zeros(2, np.float32)
+
+        ref = np.asarray(render_depth_window(
+            jnp.asarray(vc), jnp.asarray(f), jnp.asarray(Kw),
+            jnp.asarray(origin), window=(side, side), tile=tile))
+        p, valid = self._project_valid(vc, f, Kw, origin, side, tile)
+        cand = bin_faces_to_tiles(p, valid, f, side, tile)
+        assert ref.max() > 0       # the object actually rendered
+        got = np.asarray(render_depth_window_gather(
+            jnp.asarray(vc), jnp.asarray(cand), jnp.asarray(Kw),
+            jnp.asarray(origin), window=(side, side), tile=tile))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_vsd_gather_matches_scatter(self):
+        """Full VSD through both renderers must agree exactly (same
+        pixel coverage, order-independent f32 min)."""
+        from gdm_tpu.data.synthetic import make_object
+        from scipy.spatial import ConvexHull
+
+        rng = np.random.RandomState(5)
+        mesh = make_object(128, rng, radius=0.05)
+        verts = (mesh[:, :3] / 1000.0).astype(np.float32)
+        faces = ConvexHull(verts).simplices.astype(np.int32)
+        R_gt = np.eye(3, dtype=np.float32)
+        t_gt = np.array([0.0, 0.0, 0.8], np.float32)
+        dR, _ = np.linalg.qr(np.eye(3) + 0.05 * rng.randn(3, 3))
+        R_e = (dR * np.sign(np.linalg.det(dR))).astype(np.float32)
+        t_e = t_gt + np.array([0.004, -0.003, 0.006], np.float32)
+        depth = np.full((480, 640), 1.1, np.float32)
+        args = (R_e, t_e, R_gt, t_gt, depth, K, verts, faces, 0.1)
+        e_g = vsd_err(*args, renderer="gather")
+        e_s = vsd_err(*args, renderer="scatter")
+        assert np.all((e_g >= 0) & (e_g <= 1))
+        np.testing.assert_array_equal(e_g, e_s)
+
+    def test_empty_candidates(self):
+        import jax.numpy as jnp
+
+        from gdm_tpu.ops.render_depth import (
+            bin_faces_to_tiles,
+            render_depth_window_gather,
+        )
+
+        verts, faces = square_mesh(half=0.05, z=1.0)
+        cand = bin_faces_to_tiles(
+            np.zeros((2, 3, 2), np.float32), np.zeros(2, bool), faces,
+            64, 32)
+        d = render_depth_window_gather(
+            jnp.asarray(verts), jnp.asarray(cand), jnp.asarray(K),
+            jnp.zeros(2, np.float32), window=(64, 64), tile=32)
+        assert d.shape == (64, 64) and float(np.asarray(d).max()) == 0.0
+
+
 def _gt_depth(verts, faces, hw=(480, 640)):
     return render_full(verts, faces, K, hw=hw, max_edge=0.02)
 
