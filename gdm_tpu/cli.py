@@ -243,6 +243,32 @@ def _device_batch(batch, mesh_dev, fill_depth):
     return finalize_batch(dev, fill_depth=fill_depth)
 
 
+def _save_viz(viz_dir, obj_name, file_name, rgb_u8, K_crop, pts, pose,
+              gt_rt=None, max_pts=2048):
+    """Write a qualitative pose-overlay PNG: predicted pose in green,
+    GT (when available and non-zero) in blue, onto the network's input
+    crop (reference basic_utils draw figures, :355-440)."""
+    import os
+
+    from PIL import Image
+
+    from gdm_tpu.utils.viz import draw_pose
+
+    os.makedirs(viz_dir, exist_ok=True)
+    pts = np.asarray(pts)
+    if len(pts) > max_pts:
+        pts = pts[:: len(pts) // max_pts + 1]
+    img = np.ascontiguousarray(rgb_u8)
+    if gt_rt is not None and np.abs(gt_rt).sum() > 0:
+        img = draw_pose(img, pts, gt_rt[:, :3], gt_rt[:, 3], K_crop,
+                        color=(60, 120, 255))
+    img = draw_pose(img, pts, pose[:, :3], pose[:, 3], K_crop,
+                    color=(0, 255, 80))
+    name = file_name.replace("/", "_")
+    Image.fromarray(img).save(
+        osp.join(viz_dir, f"{obj_name}_{name}.png"))
+
+
 def _pad_batch(batch: dict, bs: int) -> dict:
     """Pad a trailing partial batch to the compiled batch size by
     repeating its last row (shared by the eval/infer/validation loops —
@@ -692,6 +718,11 @@ def evaluate(args):
                     obj_name, meta[i]["file_name"], poses[i][:, :3],
                     poses[i][:, 3], time=dt,
                     det=int(batch["det"][i]))
+                if args.save_viz:
+                    _save_viz(args.save_viz, obj_name,
+                              meta[i]["file_name"], batch["rgb_u8"][i],
+                              batch["K_crop"][i], models_pts[obj_name],
+                              np.asarray(poses[i]), batch["RT"][i])
             n_done += n_real
         log.info("%s: %d frames", obj_name, n_done)
 
@@ -827,6 +858,11 @@ def infer(args):
             for i in range(n_real):
                 rows.append((meta[i]["file_name"], cls_id,
                              np.asarray(poses[i], np.float64), dt))
+                if args.save_viz:
+                    _save_viz(args.save_viz, obj_name,
+                              meta[i]["file_name"], batch["rgb_u8"][i],
+                              batch["K_crop"][i], mesh_fps[:, :3],
+                              np.asarray(poses[i]))
             n_done += n_real
         log.info("%s: %d frames", obj_name, n_done)
 
@@ -1009,6 +1045,9 @@ def build_parser():
     e.add_argument("--exact-knn", action="store_true",
                    help="exact top-k for the aggregation KNN pyramid "
                         "(~7x slower; measured no pose-accuracy gain)")
+    e.add_argument("--save-viz", default=None, metavar="DIR",
+                   help="write per-frame pose-overlay PNGs (prediction "
+                        "green, GT blue) onto the input crops")
 
     i = sub.add_parser(
         "infer", help="GT-less deployment inference: rgb/depth + "
@@ -1032,6 +1071,9 @@ def build_parser():
                    help="directory of reference .pth.tar checkpoints to "
                         "import instead of native orbax checkpoints")
     i.add_argument("--exact-knn", action="store_true")
+    i.add_argument("--save-viz", default=None, metavar="DIR",
+                   help="write per-frame pose-overlay PNGs (prediction "
+                        "only — no GT in infer mode)")
 
     s = sub.add_parser(
         "score", help="offline re-scoring of a BOP results CSV "

@@ -97,13 +97,20 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
     with open(osp.join(ckpt_dir, "latest")) as f:
         assert f.read().strip() == "epoch_0001"
 
+    viz_dir = str(tmp_path_factory.mktemp("viz"))
     results = cli.main([
         "eval", "--dataset", "lmo", "--data-root", bop_root,
         "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2", "--devices", "2",
         "--num-workers", "2", "--knn-chunk", "64",
-        "--output-dir", out_dir, "--vsd",
+        "--output-dir", out_dir, "--vsd", "--save-viz", viz_dir,
     ])
     assert "ape" in results["recalls"]
+    # qualitative overlays: one PNG per frame, green prediction over the
+    # input crop (+ blue GT)
+    import glob
+
+    pngs = glob.glob(osp.join(viz_dir, "ape_*.png"))
+    assert len(pngs) == 4, pngs
     # all 4 test frames got a prediction row
     assert len(results["errors"]["ape"]["ad"]) == 4
     # --vsd: device-rendered VSD computed per frame from models_eval ply
