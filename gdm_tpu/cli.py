@@ -199,8 +199,7 @@ def _make_infer_jits(needs_pyramid, knn_chunk, exact_knn, refine):
     """
     import jax
 
-    from gdm_tpu.data.pipeline import assemble_inputs
-    from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
+    from gdm_tpu.eval.infer import run_inference
 
     @jax.jit
     def encode_mesh(state, mesh_input):
@@ -211,20 +210,12 @@ def _make_infer_jits(needs_pyramid, knn_chunk, exact_knn, refine):
     @jax.jit
     def infer_step(state, fin, mesh_input, mesh_feats, mesh_xyz,
                    icp_reject):
-        if needs_pyramid:
-            inputs = assemble_inputs(
-                fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
-                fin["xyz_img"], knn_chunk=knn_chunk,
-                approx=not exact_knn)
-        else:
-            inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
-        out = state.apply_fn(
+        return run_inference(
+            state.apply_fn,
             {"params": state.params, "batch_stats": state.batch_stats},
-            inputs, mesh_input, train=False, mesh_features=mesh_feats)
-        return fit_poses_from_outputs(
-            fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
-            det=fin.get("det"), refine=refine,
-            icp_reject_dist=icp_reject)
+            fin, mesh_input, mesh_feats, mesh_xyz, icp_reject,
+            needs_pyramid=needs_pyramid, knn_chunk=knn_chunk,
+            exact_knn=exact_knn, refine=refine)
 
     return encode_mesh, infer_step
 
@@ -979,6 +970,100 @@ def score(args):
     return results
 
 
+def export_serving(args):
+    """Serialize one object's inference path as an AOT serving artifact.
+
+    Deployment story the reference lacks: its serving host re-runs
+    `train_lm.py -state=eval` with the whole repo + torch + compiled
+    extensions on board.  Here `gdm_tpu.serve.load_artifact(dir)` on a
+    bare jax install replays the exact traced programs (see
+    gdm_tpu/serve.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.configs.base import get_config
+    from gdm_tpu.data.pipeline import finalize_batch
+    from gdm_tpu.refdata import get as get_refdata
+    from gdm_tpu.serve import export_serving_artifact, raw_input_spec
+    from gdm_tpu.train import (
+        create_train_state,
+        load_checkpoint,
+        make_optimizer,
+    )
+    from gdm_tpu.train.import_torch import load_torch_reference_checkpoint
+    from gdm_tpu.utils.logging import get_logger
+
+    log = get_logger("export-serving")
+    cfg = get_config(args.dataset, args.opt)
+    refd = get_refdata(args.dataset)
+    cls_id = args.cls_id
+    batch = args.batch_size or cfg.solver.val_batch_size
+    im = cfg.data.input_size
+    n_pts = cfg.data.num_sample_points
+    n_mesh = cfg.model.n_mesh_node
+
+    obj_name, diameter, mesh_fps, _, mesh_arr = _build_object_setup(
+        cfg, refd, cls_id, args.data_root)
+    model, mesh_input, mesh_xyz, needs_pyramid = _make_model(
+        cfg, diameter, mesh_fps, mesh_arr)
+    icp_reject = (args.icp_reject if args.icp_reject is not None
+                  else cfg.data.nn_dist_th * diameter)
+
+    # zero-filled raw batch: init only consumes shapes/dtypes
+    raw = {
+        "rgb_u8": jnp.zeros((batch, im, im, 3), jnp.uint8),
+        "dpt_m": jnp.full((batch, im, im), 0.5, jnp.float32),
+        "K_crop": jnp.tile(jnp.asarray(
+            [[500.0, 0, im / 2], [0, 500.0, im / 2], [0, 0, 1]],
+            jnp.float32), (batch, 1, 1)),
+        "choose": jnp.zeros((batch, n_pts), jnp.int32),
+        "labels": jnp.zeros((batch, n_pts), jnp.int32),
+        "origin_labels": jnp.zeros((batch, n_pts), jnp.int32),
+        "match_idx": jnp.zeros((batch, n_pts), jnp.int32),
+        "visible_flag": jnp.zeros((batch, n_mesh), jnp.uint8),
+        "RT": jnp.tile(jnp.eye(3, 4, dtype=jnp.float32), (batch, 1, 1)),
+    }
+    if cfg.data.fill_depth:
+        raw["dpt_filled"] = raw["dpt_m"]
+    fin = finalize_batch(raw, fill_depth=cfg.data.fill_depth)
+    sample_inputs = _train_inputs(fin, args.knn_chunk, needs_pyramid)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), sample_inputs, mesh_input,
+        lambda _: 1e-4,
+        tx=make_optimizer(lambda _: 1e-4, cfg.solver.weight_decay,
+                          cfg.solver.skip_nonfinite))
+    if args.torch_checkpoint:
+        state = load_torch_reference_checkpoint(
+            state, osp.join(args.torch_checkpoint, obj_name))
+    else:
+        ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
+        state, ep = load_checkpoint(state, ckpt_dir)
+        if ep is None:
+            raise SystemExit(f"no checkpoint for {obj_name} in "
+                             f"{ckpt_dir} — refusing to export "
+                             "untrained weights")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mesh_feats = state.apply_fn(variables, mesh_input, train=False,
+                                method="encode_mesh")
+    out_dir = args.out or osp.join("serving", args.dataset, obj_name)
+    info = export_serving_artifact(
+        out_dir,
+        apply_fn=state.apply_fn, variables=variables,
+        mesh_input=mesh_input, mesh_feats=mesh_feats, mesh_xyz=mesh_xyz,
+        raw_spec=raw_input_spec(batch, im, n_pts, cfg.data.fill_depth),
+        fill_depth=cfg.data.fill_depth, needs_pyramid=needs_pyramid,
+        knn_chunk=args.knn_chunk, exact_knn=args.exact_knn,
+        refine=args.refine, icp_reject=icp_reject,
+        platforms=tuple(args.platforms.split(",")),
+        meta={"dataset": args.dataset, "obj_name": obj_name,
+              "cls_id": cls_id, "diameter_m": diameter})
+    log.info("exported %s -> %s (platforms %s)", obj_name, out_dir,
+             info["platforms"])
+    return info
+
+
 def build_parser():
     p = argparse.ArgumentParser("gdm_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -1085,6 +1170,27 @@ def build_parser():
     s.add_argument("--cls-id", type=int, default=None)
     s.add_argument("--output-dir", default=None)
     s.add_argument("--vsd", action="store_true")
+
+    x = sub.add_parser(
+        "export-serving",
+        help="serialize one object's inference path (preprocess + "
+             "forward + pose fit, weights baked) as an AOT jax.export "
+             "artifact loadable with gdm_tpu.serve on a bare jax "
+             "install")
+    common(x)
+    x.add_argument("--cls-id", type=int, required=True)
+    x.add_argument("--out", default=None,
+                   help="artifact directory (default: "
+                        "serving/<dataset>/<obj>)")
+    x.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    x.add_argument("--refine", choices=["ransac", "icp", "meanshift"],
+                   default=None)
+    x.add_argument("--icp-reject", type=float, default=None)
+    x.add_argument("--torch-checkpoint", default=None,
+                   help="import reference .pth.tar checkpoints instead "
+                        "of native orbax checkpoints")
+    x.add_argument("--exact-knn", action="store_true")
     return p
 
 
@@ -1099,6 +1205,8 @@ def main(argv=None):
             return score(args)
         if args.command == "infer":
             return infer(args)
+        if args.command == "export-serving":
+            return export_serving(args)
         return evaluate(args)
 
 

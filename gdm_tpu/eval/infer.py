@@ -1,0 +1,43 @@
+"""Shared inference body: KNN pyramid + forward + on-device pose fit.
+
+The reference's eval path assembles inputs on the CPU dataloader, runs
+the torch forward, then fits poses on a host thread pool
+(train_lm.py:318-380, evaluator.py:294-303).  Here the whole chain is
+one traced function of a finalized batch, used by BOTH the live jits
+(cli._make_infer_jits) and the AOT serving export (gdm_tpu.serve), so a
+serialized artifact runs exactly the program the evaluator validated.
+"""
+
+from __future__ import annotations
+
+
+def run_inference(apply_fn, variables, fin, mesh_input, mesh_feats,
+                  mesh_xyz, icp_reject, *, needs_pyramid: bool,
+                  knn_chunk: int, exact_knn: bool, refine):
+    """Finalized batch -> fitted poses [B, 3, 4].
+
+    Args:
+      apply_fn: the flax module apply (state.apply_fn).
+      variables: {"params": ..., "batch_stats": ...}.
+      fin: finalize_batch output (rgb, cld_rgb_nrm, choose, xyz_img,
+        optionally det).
+      mesh_input / mesh_feats / mesh_xyz: per-object mesh constants and
+        the precomputed mesh-branch features (encode_mesh output).
+      icp_reject: ICP correspondence gate in metres (traced scalar).
+      needs_pyramid / knn_chunk / exact_knn / refine: static knobs —
+        callers jit over them.
+    """
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
+
+    if needs_pyramid:
+        inputs = assemble_inputs(
+            fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+            fin["xyz_img"], knn_chunk=knn_chunk, approx=not exact_knn)
+    else:
+        inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
+    out = apply_fn(variables, inputs, mesh_input, train=False,
+                   mesh_features=mesh_feats)
+    return fit_poses_from_outputs(
+        fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
+        det=fin.get("det"), refine=refine, icp_reject_dist=icp_reject)

@@ -1,0 +1,137 @@
+"""AOT serving artifacts (gdm_tpu.serve): serialized finalize/infer
+programs must reproduce the live jitted inference path on the same
+inputs, survive a disk round-trip, and honour the metadata contract.
+
+The reference has no deployment story beyond re-running the training
+repo (train_lm.py:318-380); this subsystem is TPU-framework-only.
+"""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+IM, N_MESH, N_SAMPLE, BATCH = 48, 32, 256, 2
+KNN_CHUNK = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.data.pipeline import assemble_inputs, finalize_batch
+    from gdm_tpu.data.synthetic import make_object
+    from gdm_tpu.models import GeoMatch
+    from gdm_tpu.models.geomatch import MeshArrays
+    from gdm_tpu.models.spline_mesh import build_mesh_graph
+
+    rng = np.random.RandomState(0)
+    K = np.array([[210.0, 0, IM / 2], [0, 210.0, IM / 2], [0, 0, 1]],
+                 np.float32)
+    mesh_fps = make_object(N_MESH, rng, radius=0.04)
+    mesh = MeshArrays.from_graph(build_mesh_graph(mesh_fps, N_MESH))
+    model = GeoMatch(positive_r=0.01)
+
+    raw = {
+        "rgb_u8": rng.randint(0, 255, (BATCH, IM, IM, 3)).astype(
+            np.uint8),
+        "dpt_m": (0.4 + 0.1 * rng.rand(BATCH, IM, IM)).astype(
+            np.float32),
+        "K_crop": np.tile(K, (BATCH, 1, 1)),
+        "choose": rng.randint(0, IM * IM, (BATCH, N_SAMPLE)).astype(
+            np.int32),
+        "det": np.ones((BATCH,), np.int32),
+    }
+    fin = finalize_batch({k: jnp.asarray(v) for k, v in raw.items()},
+                         fill_depth=False)
+    inputs = assemble_inputs(fin["rgb"], fin["cld_rgb_nrm"],
+                             fin["choose"], fin["xyz_img"],
+                             knn_chunk=KNN_CHUNK)
+    variables = jax.jit(
+        lambda r, i, m: model.init(r, i, m, train=False))(
+            jax.random.PRNGKey(0), inputs, mesh)
+    mesh_feats = model.apply(variables, mesh, train=False,
+                             method="encode_mesh")
+    return model, mesh, variables, mesh_feats, raw
+
+
+def _live_poses(model, mesh, variables, mesh_feats, raw, refine=None):
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.data.pipeline import finalize_batch
+    from gdm_tpu.eval.infer import run_inference
+
+    fin = finalize_batch({k: jnp.asarray(v) for k, v in raw.items()},
+                         fill_depth=False)
+    step = jax.jit(lambda f: run_inference(
+        model.apply, variables, f, mesh, mesh_feats, mesh.xyz,
+        jnp.float32(0.01), needs_pyramid=True, knn_chunk=KNN_CHUNK,
+        exact_knn=False, refine=refine))
+    return np.asarray(step(fin))
+
+
+def test_artifact_matches_live_path(setup, tmp_path):
+    from gdm_tpu import serve
+
+    model, mesh, variables, mesh_feats, raw = setup
+    out = str(tmp_path / "artifact")
+    info = serve.export_serving_artifact(
+        out,
+        apply_fn=model.apply, variables=variables, mesh_input=mesh,
+        mesh_feats=mesh_feats, mesh_xyz=mesh.xyz,
+        raw_spec=serve.raw_input_spec(BATCH, IM, N_SAMPLE,
+                                      fill_depth=False),
+        fill_depth=False, needs_pyramid=True, knn_chunk=KNN_CHUNK,
+        exact_knn=False, refine=None, icp_reject=0.01,
+        platforms=("cpu",), meta={"obj_name": "synthetic"})
+    assert osp.exists(osp.join(out, "finalize.bin"))
+    assert osp.exists(osp.join(out, "infer.bin"))
+    assert info["obj_name"] == "synthetic"
+    assert info["raw_spec"]["rgb_u8"] == [[BATCH, IM, IM, 3], "uint8"]
+
+    art = serve.load_artifact(out)
+    assert art.platforms == ("cpu",)
+    # staged: finalize output feeds infer, like the live evaluator
+    fin = art.finalize(raw)
+    poses = np.asarray(art.infer(fin))
+    assert poses.shape == (BATCH, 3, 4)
+    # one-call convenience path is the same program chain
+    poses2 = np.asarray(art.run(raw))
+    np.testing.assert_array_equal(poses, poses2)
+
+    live = _live_poses(model, mesh, variables, mesh_feats, raw)
+    np.testing.assert_allclose(poses, live, rtol=0, atol=1e-5)
+    # rotations are valid (orthonormal, det +1)
+    rtr = poses[:, :, :3] @ poses[:, :, :3].transpose(0, 2, 1)
+    np.testing.assert_allclose(rtr, np.tile(np.eye(3), (BATCH, 1, 1)),
+                               atol=1e-4)
+
+
+def test_artifact_refuses_newer_format(setup, tmp_path):
+    import json
+
+    from gdm_tpu import serve
+
+    model, mesh, variables, mesh_feats, raw = setup
+    out = str(tmp_path / "artifact")
+    serve.export_serving_artifact(
+        out,
+        apply_fn=model.apply, variables=variables, mesh_input=mesh,
+        mesh_feats=mesh_feats, mesh_xyz=mesh.xyz,
+        raw_spec=serve.raw_input_spec(BATCH, IM, N_SAMPLE,
+                                      fill_depth=False),
+        fill_depth=False, needs_pyramid=True, knn_chunk=KNN_CHUNK,
+        exact_knn=False, refine=None, icp_reject=0.01,
+        platforms=("cpu",))
+    meta_path = osp.join(out, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["format_version"] = serve._FORMAT_VERSION + 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="newer"):
+        serve.load_artifact(out)
