@@ -282,13 +282,15 @@ def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
     return batch / dt
 
 
-def measure_vsd(n_frames=16, reps=2, seed=3):
+def measure_vsd(n_frames=32, reps=2, seed=3):
     """Batched BOP-VSD ms/frame (eval/vsd.vsd_err_batch) on an LMO-like
     workload: ~0.1 m icosphere-ish object, 640x480 frames.  All frames
-    share one distance so the whole batch lands in ONE (window side,
-    z-bucket, batch-pow2) group — exactly one compile through the remote
+    share one distance so every chunk lands in ONE (window side,
+    z-bucket, chunk-pow2) shape — exactly one compile through the remote
     helper (grouped multi-bucket dispatch is covered by tests; here we
-    bound bench wall time).  Steady state = second rep."""
+    bound bench wall time).  32 frames = two group_cap=16 chunks, so the
+    host-prep/device-render pipelining that offline scoring sees is in
+    the measurement.  Steady state = second rep."""
     import jax
 
     from gdm_tpu.data.synthetic import make_object

@@ -430,9 +430,15 @@ def _prep_job(R_est, t_est, R_gt, t_gt, depth_test, K, verts, tile):
 
 
 def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
-               cost_type, normalized_by_diameter, renderer="gather"):
+               cost_type, normalized_by_diameter, renderer="gather",
+               fetch=True):
     """Run jobs that share (side, z bucket, K, im_hw) as ONE vmapped
     call.
+
+    fetch=False returns the [n, n_taus] errors as a DEVICE array
+    without blocking: the batched caller pipelines host-side prep of
+    the next chunk (projection + tile binning, the ~3 ms/frame host
+    share) against the device render of this one.
 
     The batch is padded to a power of two (repeating the last job) so
     remainder groups reuse compiles instead of specialising per size.
@@ -491,13 +497,16 @@ def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
         cost_type=cost_type,
         normalized_by_diameter=normalized_by_diameter,
         renderer=renderer)
+    if not fetch:
+        return errs[:n]
     return np.asarray(errs)[:n]
 
 
 def vsd_err_batch(poses, depth_tests, K, verts, faces, diameter,
                   delta=BOP19_DELTA, taus=BOP19_TAUS,
                   normalized_by_diameter=True, cost_type="step",
-                  tile=32, group_cap=64, renderer="gather") -> np.ndarray:
+                  tile=32, group_cap=16, renderer="gather",
+                  pipeline_depth=2) -> np.ndarray:
     """VSD errors for many frames of one object: [n, len(taus)].
 
     Frames are grouped by (window bucket, subdivision z bucket) and each
@@ -510,8 +519,19 @@ def vsd_err_batch(poses, depth_tests, K, verts, faces, diameter,
       depth_tests: matching sequence of [H, W] metric test depths.
       K: one [3, 3] intrinsics shared by all frames, or a sequence of
         per-frame intrinsics (frames group by K as well).
-      group_cap: max frames per device call (bounds the window buffer
-        memory: group_cap * side^2 floats).
+      group_cap: max frames per device call (bounds the in-flight
+        buffer memory — window floats + candidate lanes — at roughly
+        pipeline_depth+1 chunks of group_cap frames each).
+      pipeline_depth: device calls left un-fetched while the host preps
+        the next chunk.  The per-frame host share (vert projection +
+        tile binning, ~3 ms) then overlaps the device render of the
+        previous chunk instead of serialising with it; depth 2 is
+        enough to keep the device busy.  0 restores the serial
+        launch-and-fetch behaviour.  Chip sweep (2026-08-19, 32-frame
+        bench workload): cap16/depth2 11.5 ms/frame vs 16.9 serial
+        (1.46x); cap8 12.9, cap4 17.1 (dispatch-bound), cap32 18.6 (one
+        chunk - nothing to overlap); outputs bit-identical at every
+        setting.
     """
     K = np.asarray(K, np.float32)
     Ks = ([K] * len(depth_tests)) if K.ndim == 2 else list(K)
@@ -526,15 +546,24 @@ def vsd_err_batch(poses, depth_tests, K, verts, faces, diameter,
         groups.setdefault(
             (j["side"], j["zb"], j["K"].tobytes(),
              tuple(j["im_hw"])), []).append(i)
+    pending: list = []    # (device errs [n, n_taus], frame indices)
+
+    def drain(keep):
+        while len(pending) > keep:
+            errs_dev, sel = pending.pop(0)
+            for row, i in zip(np.asarray(errs_dev), sel):
+                out[i] = row
+
     for idxs in groups.values():
         for s in range(0, len(idxs), group_cap):
             sel = idxs[s:s + group_cap]
-            errs = _run_group(
+            errs_dev = _run_group(
                 [jobs[i] for i in sel], verts, faces, diameter,
                 delta, taus, tile, cost_type, normalized_by_diameter,
-                renderer=renderer)
-            for row, i in zip(errs, sel):
-                out[i] = row
+                renderer=renderer, fetch=False)
+            pending.append((errs_dev, sel))
+            drain(pipeline_depth)
+    drain(0)
     return out
 
 
