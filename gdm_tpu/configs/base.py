@@ -26,6 +26,8 @@ class DataConfig:
     sym_objs: Sequence[str] = ()
     real_pbr_mix: float | None = None   # ycbv: p(real)=0.8 (ycbv_pbr.py:684)
     fill_depth: bool = False            # ycbv: ip_basic on the crop
+    cache_visibility: bool = True       # cache per-anno HPR hull (exact;
+    #   the pose never changes for an annotation — ~n_mesh/8 B per anno)
 
 
 @dataclasses.dataclass(frozen=True)

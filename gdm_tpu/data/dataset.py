@@ -48,7 +48,7 @@ from gdm_tpu.data.augment import (
     rgb_add_noise,
 )
 from gdm_tpu.data.crop import crop_affine_matrix, crop_resize_by_warp_affine
-from gdm_tpu.data.gt_gen import pose_gt_info
+from gdm_tpu.data.gt_gen import pose_gt_info, pose_visibility
 
 
 class PoseDataset:
@@ -137,6 +137,14 @@ class PoseDataset:
         self.mix_real = (d.real_pbr_mix if mode == "train" else None)
         self.fill_depth = d.fill_depth
         self.add_noise = mode == "train" and d.name == "ycbv"
+        # Per-annotation HPR visibility cache (data.cache_visibility):
+        # pose_visibility depends only on (rec.pose, mesh_pts), both fixed
+        # for an annotation, so the convex hull — the dominant GT-gen host
+        # cost — is paid once per annotation per worker instead of every
+        # epoch.  Stored bit-packed: n_mesh/8 bytes per annotation
+        # (4096-vertex mesh -> 512 B; 100k annotations -> ~50 MB).
+        self._vis_cache: dict[int, np.ndarray] | None = (
+            {} if d.cache_visibility else None)
 
     # -- indexing ----------------------------------------------------------
 
@@ -168,6 +176,23 @@ class PoseDataset:
             rng=np.random.RandomState((7919 * idx + 13) % (2 ** 31)))
         assert data is not None
         return data
+
+    def _visibility(self, rec: bop.Record) -> np.ndarray | None:
+        """Cached pose_visibility for this annotation (None = compute).
+
+        Keyed by record identity — records live in self.annos for the
+        dataset's lifetime, and each loader worker holds its own dataset
+        copy (its own cache).
+        """
+        if self._vis_cache is None:
+            return None
+        key = id(rec)
+        packed = self._vis_cache.get(key)
+        if packed is None:
+            flag = pose_visibility(rec.pose, self.mesh_pts)
+            self._vis_cache[key] = np.packbits(flag)
+            return flag
+        return np.unpackbits(packed, count=len(self.mesh_pts))
 
     # -- the per-sample pipeline -------------------------------------------
 
@@ -268,7 +293,8 @@ class PoseDataset:
         else:
             labels, match_idx, visible_flag, valid = pose_gt_info(
                 cld, labels_pt, rec.pose, self.mesh_pts,
-                nn_dist_th=self.gt_match_th_m)
+                nn_dist_th=self.gt_match_th_m,
+                visible_flag=self._visibility(rec))
             if self.mode == "train" and not valid:
                 return None
 

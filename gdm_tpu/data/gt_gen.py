@@ -17,12 +17,29 @@ from gdm_tpu import native
 from gdm_tpu.ops.visibility import visible_points
 
 
+def pose_visibility(pose: np.ndarray, mesh_pts: np.ndarray) -> np.ndarray:
+    """Visible-vertex flag [m] uint8 for a GT pose (HPR hull).
+
+    Depends only on (pose, mesh_pts) — NOT on the sampled scene points —
+    so for a fixed annotation it is constant across epochs and cacheable
+    (the convex hull is the dominant host-loader cost; see
+    PoseDataset._visibility).
+    """
+    R, t = pose[:, :3], pose[:, 3:4]
+    cam_center_model = -R.T @ t                       # inverse-pose origin
+    vis_idx = visible_points(mesh_pts, cam_center_model.ravel())
+    visible_flag = np.zeros(len(mesh_pts), np.uint8)
+    visible_flag[vis_idx] = 1
+    return visible_flag
+
+
 def pose_gt_info(
     cld: np.ndarray,
     pt_labels: np.ndarray,
     pose: np.ndarray,
     mesh_pts: np.ndarray,
     nn_dist_th: float = 0.01,
+    visible_flag: np.ndarray | None = None,
 ):
     """Compute correspondence GT for one sample.
 
@@ -33,6 +50,8 @@ def pose_gt_info(
       mesh_pts: [m, 3] object vertices (metres).
       nn_dist_th: outlier rejection distance (reference hardcodes 0.01 at
         linemod_pbr.py:641; ycbv_pbr.py:643 uses the config value).
+      visible_flag: optional precomputed pose_visibility(pose, mesh_pts)
+        (e.g. from a per-annotation cache); computed here when None.
 
     Returns:
       (labels_refined [n], match_idx [n] with m = no-match,
@@ -40,8 +59,9 @@ def pose_gt_info(
     """
     n, m = len(cld), len(mesh_pts)
     match_idx = np.full(n, m, np.int32)
-    visible_flag = np.zeros(m, np.uint8)
     labels = pt_labels.copy()
+    if visible_flag is None:
+        visible_flag = pose_visibility(pose, mesh_pts)
 
     fg = pt_labels > 0
     obj_cld = cld[fg]
@@ -49,9 +69,7 @@ def pose_gt_info(
         return labels, match_idx, visible_flag, False
 
     R, t = pose[:, :3], pose[:, 3:4]
-    cam_center_model = -R.T @ t                       # inverse-pose origin
-    vis_idx = visible_points(mesh_pts, cam_center_model.ravel())
-    visible_flag[vis_idx] = 1
+    vis_idx = np.nonzero(visible_flag)[0]
     vis_proj = mesh_pts[vis_idx] @ R.T + t.T
 
     nn, dist = native.knn(vis_proj, obj_cld, 1, return_dist=True)

@@ -225,6 +225,45 @@ class TestDataset:
         np.testing.assert_allclose(s["K_crop"], st["K_crop"], rtol=1e-6)
 
 
+class TestVisibilityCache:
+    def test_bit_identical_and_hull_once_per_anno(self, bop_root,
+                                                  monkeypatch):
+        """data.cache_visibility pays the HPR hull once per annotation
+        (the GT pose never changes across epochs) and is bit-identical
+        to the uncached path."""
+        import dataclasses
+
+        import gdm_tpu.data.dataset as dsmod
+
+        calls = {"n": 0}
+        real = dsmod.pose_visibility
+
+        def counting(pose, mesh_pts):
+            calls["n"] += 1
+            return real(pose, mesh_pts)
+
+        monkeypatch.setattr(dsmod, "pose_visibility", counting)
+
+        cfg = _mini_config()
+        ds = PoseDataset(cfg, 1, "test", diameter_m=0.1,
+                         data_root=bop_root)
+        cfg_off = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, cache_visibility=False))
+        ds_off = PoseDataset(cfg_off, 1, "test", diameter_m=0.1,
+                             data_root=bop_root)
+        assert ds_off._vis_cache is None
+
+        epoch1 = [ds[i] for i in range(len(ds))]
+        assert calls["n"] == len(ds)
+        epoch2 = [ds[i] for i in range(len(ds))]   # cache hits only
+        assert calls["n"] == len(ds)
+        off = [ds_off[i] for i in range(len(ds_off))]
+        for a, b, c in zip(epoch1, epoch2, off):
+            for k in ("labels", "match_idx", "visible_flag", "choose"):
+                np.testing.assert_array_equal(a[k], b[k])
+                np.testing.assert_array_equal(a[k], c[k])
+
+
 class TestLoaderAndFinalize:
     def test_loader_shards_and_collates(self, bop_root):
         ds = PoseDataset(_mini_config(), 1, "test", diameter_m=0.1,
