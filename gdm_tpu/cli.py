@@ -235,10 +235,12 @@ def _device_batch(batch, mesh_dev, fill_depth):
 
 
 def _save_viz(viz_dir, obj_name, file_name, rgb_u8, K_crop, pts, pose,
-              gt_rt=None, max_pts=2048):
+              gt_rt=None, max_pts=2048, inst=0):
     """Write a qualitative pose-overlay PNG: predicted pose in green,
     GT (when available and non-zero) in blue, onto the network's input
-    crop (reference basic_utils draw figures, :355-440)."""
+    crop (reference basic_utils draw figures, :355-440).  `inst`
+    disambiguates multiple detections of the same object in one frame
+    (infer mode keeps every detection of the class)."""
     import os
 
     from PIL import Image
@@ -256,8 +258,9 @@ def _save_viz(viz_dir, obj_name, file_name, rgb_u8, K_crop, pts, pose,
     img = draw_pose(img, pts, pose[:, :3], pose[:, 3], K_crop,
                     color=(0, 255, 80))
     name = file_name.replace("/", "_")
+    suffix = "" if inst == 0 else f"_{inst}"
     Image.fromarray(img).save(
-        osp.join(viz_dir, f"{obj_name}_{name}.png"))
+        osp.join(viz_dir, f"{obj_name}_{name}{suffix}.png"))
 
 
 def _pad_batch(batch: dict, bs: int) -> dict:
@@ -652,6 +655,7 @@ def evaluate(args):
                 args.refine)
 
         n_done = 0
+        viz_seen = {}
         for batch, meta in dl:
             # pad the trailing partial batch to this host's compiled size
             n_real = batch["rgb_u8"].shape[0]
@@ -710,10 +714,13 @@ def evaluate(args):
                     poses[i][:, 3], time=dt,
                     det=int(batch["det"][i]))
                 if args.save_viz:
+                    fname = meta[i]["file_name"]
+                    viz_seen[fname] = viz_seen.get(fname, 0) + 1
                     _save_viz(args.save_viz, obj_name,
-                              meta[i]["file_name"], batch["rgb_u8"][i],
+                              fname, batch["rgb_u8"][i],
                               batch["K_crop"][i], models_pts[obj_name],
-                              np.asarray(poses[i]), batch["RT"][i])
+                              np.asarray(poses[i]), batch["RT"][i],
+                              inst=viz_seen[fname] - 1)
             n_done += n_real
         log.info("%s: %d frames", obj_name, n_done)
 
@@ -807,6 +814,7 @@ def infer(args):
         mesh_feats = None
         ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
         n_done = 0
+        viz_seen = {}
         for batch, meta in dl:
             n_real = batch["rgb_u8"].shape[0]
             batch = _pad_batch(batch, host_bs)
@@ -850,10 +858,13 @@ def infer(args):
                 rows.append((meta[i]["file_name"], cls_id,
                              np.asarray(poses[i], np.float64), dt))
                 if args.save_viz:
+                    fname = meta[i]["file_name"]
+                    viz_seen[fname] = viz_seen.get(fname, 0) + 1
                     _save_viz(args.save_viz, obj_name,
-                              meta[i]["file_name"], batch["rgb_u8"][i],
+                              fname, batch["rgb_u8"][i],
                               batch["K_crop"][i], mesh_fps[:, :3],
-                              np.asarray(poses[i]))
+                              np.asarray(poses[i]),
+                              inst=viz_seen[fname] - 1)
             n_done += n_real
         log.info("%s: %d frames", obj_name, n_done)
 
@@ -1010,22 +1021,27 @@ def export_serving(args):
     icp_reject = (args.icp_reject if args.icp_reject is not None
                   else cfg.data.nn_dist_th * diameter)
 
-    # zero-filled raw batch: init only consumes shapes/dtypes
-    raw = {
-        "rgb_u8": jnp.zeros((batch, im, im, 3), jnp.uint8),
-        "dpt_m": jnp.full((batch, im, im), 0.5, jnp.float32),
-        "K_crop": jnp.tile(jnp.asarray(
-            [[500.0, 0, im / 2], [0, 500.0, im / 2], [0, 0, 1]],
-            jnp.float32), (batch, 1, 1)),
-        "choose": jnp.zeros((batch, n_pts), jnp.int32),
+    # zero-filled raw batch derived from the SAME spec the artifact is
+    # traced against (serve.raw_input_spec), so a loader-contract change
+    # cannot desynchronise the init shapes from the exported program.
+    # dpt_m/K_crop get non-degenerate fills (backprojection divides by
+    # fx/fy); init only consumes shapes/dtypes beyond that.
+    raw_spec = raw_input_spec(batch, im, n_pts, cfg.data.fill_depth,
+                              with_det=False)
+    raw = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), raw_spec)
+    raw["dpt_m"] = jnp.full((batch, im, im), 0.5, jnp.float32)
+    raw["K_crop"] = jnp.tile(jnp.asarray(
+        [[500.0, 0, im / 2], [0, 500.0, im / 2], [0, 0, 1]],
+        jnp.float32), (batch, 1, 1))
+    if cfg.data.fill_depth:
+        raw["dpt_filled"] = raw["dpt_m"]
+    raw.update({                       # GT-only extras init also traces
         "labels": jnp.zeros((batch, n_pts), jnp.int32),
         "origin_labels": jnp.zeros((batch, n_pts), jnp.int32),
         "match_idx": jnp.zeros((batch, n_pts), jnp.int32),
         "visible_flag": jnp.zeros((batch, n_mesh), jnp.uint8),
         "RT": jnp.tile(jnp.eye(3, 4, dtype=jnp.float32), (batch, 1, 1)),
-    }
-    if cfg.data.fill_depth:
-        raw["dpt_filled"] = raw["dpt_m"]
+    })
     fin = finalize_batch(raw, fill_depth=cfg.data.fill_depth)
     sample_inputs = _train_inputs(fin, args.knn_chunk, needs_pyramid)
     state = create_train_state(
@@ -1056,7 +1072,8 @@ def export_serving(args):
         fill_depth=cfg.data.fill_depth, needs_pyramid=needs_pyramid,
         knn_chunk=args.knn_chunk, exact_knn=args.exact_knn,
         refine=args.refine, icp_reject=icp_reject,
-        platforms=tuple(args.platforms.split(",")),
+        platforms=tuple(p.strip() for p in args.platforms.split(",")
+                        if p.strip()),
         meta={"dataset": args.dataset, "obj_name": obj_name,
               "cls_id": cls_id, "diameter_m": diameter})
     log.info("exported %s -> %s (platforms %s)", obj_name, out_dir,

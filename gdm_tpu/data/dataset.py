@@ -177,15 +177,16 @@ class PoseDataset:
         assert data is not None
         return data
 
-    def _visibility(self, rec: bop.Record) -> np.ndarray | None:
-        """Cached pose_visibility for this annotation (None = compute).
+    def _visibility(self, rec: bop.Record) -> np.ndarray:
+        """Cached pose_visibility for this annotation.
 
         Keyed by record identity — records live in self.annos for the
         dataset's lifetime, and each loader worker holds its own dataset
-        copy (its own cache).
+        copy (its own cache).  Called lazily by pose_gt_info only after
+        its empty-foreground check, so invalid samples never pay the hull.
         """
         if self._vis_cache is None:
-            return None
+            return pose_visibility(rec.pose, self.mesh_pts)
         key = id(rec)
         packed = self._vis_cache.get(key)
         if packed is None:
@@ -294,7 +295,7 @@ class PoseDataset:
             labels, match_idx, visible_flag, valid = pose_gt_info(
                 cld, labels_pt, rec.pose, self.mesh_pts,
                 nn_dist_th=self.gt_match_th_m,
-                visible_flag=self._visibility(rec))
+                visible_flag=lambda: self._visibility(rec))
             if self.mode == "train" and not valid:
                 return None
 

@@ -51,22 +51,29 @@ def pose_gt_info(
       nn_dist_th: outlier rejection distance (reference hardcodes 0.01 at
         linemod_pbr.py:641; ycbv_pbr.py:643 uses the config value).
       visible_flag: optional precomputed pose_visibility(pose, mesh_pts)
-        (e.g. from a per-annotation cache); computed here when None.
+        array, or a zero-arg callable returning one (a cache lookup).
+        Resolved only AFTER the empty-foreground check so invalid samples
+        never pay the hull; computed here when None.
 
     Returns:
       (labels_refined [n], match_idx [n] with m = no-match,
-       visible_flag [m] uint8, valid bool)
+       visible_flag [m] uint8, valid bool — the flag is all-zeros on the
+       empty-foreground invalid path, matching the reference which fills
+       it only after that check, linemod_pbr.py:612-631)
     """
     n, m = len(cld), len(mesh_pts)
     match_idx = np.full(n, m, np.int32)
     labels = pt_labels.copy()
-    if visible_flag is None:
-        visible_flag = pose_visibility(pose, mesh_pts)
 
     fg = pt_labels > 0
     obj_cld = cld[fg]
     if obj_cld.shape[0] == 0:
-        return labels, match_idx, visible_flag, False
+        return labels, match_idx, np.zeros(m, np.uint8), False
+
+    if visible_flag is None:
+        visible_flag = pose_visibility(pose, mesh_pts)
+    elif callable(visible_flag):
+        visible_flag = visible_flag()
 
     R, t = pose[:, :3], pose[:, 3:4]
     vis_idx = np.nonzero(visible_flag)[0]

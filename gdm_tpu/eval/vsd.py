@@ -119,7 +119,9 @@ def _face_bucket(n: int, base: int = _FACE_BUCKET_MIN) -> int:
     remote compile — to a handful per workload.  Every bucket is a
     multiple of the _FACE_CHUNK raster chunk, so the renderer's own
     chunk padding adds nothing on top.  The gather renderer buckets its
-    per-tile candidate count with base=_CAND_BUCKET_MIN.
+    per-tile candidate count with base=_CAND_BUCKET_MIN; _run_group
+    rounds buckets above _CAND_CHUNK up to a multiple of it so the
+    device scan length equals the bucket there too.
     """
     m = 1
     while base * m < n:
@@ -461,10 +463,13 @@ def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
     nb = 1
     while nb < n:
         nb *= 2
-    jobs = jobs + [jobs[-1]] * (nb - n)
+    # host prep (projection + tile binning, the pipelined ~3 ms/frame
+    # share) runs only for the n REAL jobs; padding lanes replicate the
+    # last job's prepared arrays instead of recomputing them
     proj = [[_project_visible(v_np, f_np, orient, j[f"R_{k}"],
                               j[f"t_{k}"], Knp, j["origin"], side, tile)
              for k in ("est", "gt")] for j in jobs]
+    jobs = jobs + [jobs[-1]] * (nb - n)
     if renderer == "gather":
         g = side // tile
         cands = [[bin_faces_to_tiles(p, vis, f_np, side, tile)
@@ -472,15 +477,22 @@ def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
         kc = _face_bucket(
             max(max(a.shape[1], b.shape[1]) for a, b in cands),
             base=_CAND_BUCKET_MIN)
+        if kc > _CAND_CHUNK:
+            # the renderer scans _CAND_CHUNK-sized steps; a bucket that
+            # is not a multiple of it (768) would be re-padded on device
+            # (to 1024) — round up here so bucket == scanned length
+            kc = -(-kc // _CAND_CHUNK) * _CAND_CHUNK
         lanes = np.zeros((nb, 2, g * g, kc, 3), np.int32)
-        for i, (ca, cb) in enumerate(cands):
+        for i in range(nb):
+            ca, cb = cands[min(i, n - 1)]
             lanes[i, 0, :, :ca.shape[1]] = ca
             lanes[i, 1, :, :cb.shape[1]] = cb
     else:
         vis = [[np.where(v)[0] for _, v in renders] for renders in proj]
         fb = _face_bucket(max(max(len(a), len(b)) for a, b in vis))
         lanes = np.zeros((nb, 2, fb, 3), np.int32)
-        for i, (ia, ib) in enumerate(vis):
+        for i in range(nb):
+            ia, ib = vis[min(i, n - 1)]
             lanes[i, 0, :len(ia)] = f_np[ia]
             lanes[i, 1, :len(ib)] = f_np[ib]
     stack = {k: jnp.asarray(np.stack([j[k] for j in jobs]))

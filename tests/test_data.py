@@ -225,6 +225,44 @@ class TestDataset:
         np.testing.assert_allclose(s["K_crop"], st["K_crop"], rtol=1e-6)
 
 
+class TestPoseGtInfo:
+    def test_lazy_visibility_callable(self):
+        """pose_gt_info accepts a zero-arg callable for visible_flag (the
+        cache-lookup form) and resolves it only after the empty-foreground
+        check, so invalid samples never pay the HPR hull."""
+        from gdm_tpu.data.gt_gen import pose_gt_info, pose_visibility
+
+        rng = np.random.RandomState(3)
+        mesh_pts = make_object(N_MESH, rng)[:, :3] / 1000.0
+        pose = np.hstack([np.eye(3), [[0.0], [0.0], [0.5]]]).astype(
+            np.float32)
+        cld = mesh_pts @ pose[:, :3].T + pose[:, 3]
+        pt_labels = np.ones(len(cld), np.int32)
+        flag = pose_visibility(pose, mesh_pts)
+
+        calls = {"n": 0}
+
+        def lookup():
+            calls["n"] += 1
+            return flag
+
+        # empty foreground: callable must NOT be invoked, flag is zeros
+        lab0, mi0, vf0, valid0 = pose_gt_info(
+            cld, np.zeros_like(pt_labels), pose, mesh_pts,
+            visible_flag=lookup)
+        assert calls["n"] == 0 and not valid0
+        assert vf0.sum() == 0 and (mi0 == N_MESH).all()
+
+        # callable form == array form, bit-identical
+        out_arr = pose_gt_info(cld, pt_labels, pose, mesh_pts,
+                               visible_flag=flag)
+        out_fn = pose_gt_info(cld, pt_labels, pose, mesh_pts,
+                              visible_flag=lookup)
+        assert calls["n"] == 1 and out_fn[3] and out_arr[3]
+        for a, b in zip(out_arr[:3], out_fn[:3]):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestVisibilityCache:
     def test_bit_identical_and_hull_once_per_anno(self, bop_root,
                                                   monkeypatch):
