@@ -26,6 +26,7 @@ Deviations from the reference (deliberate, documented):
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
 import time
 
@@ -1081,6 +1082,43 @@ def export_serving(args):
     return info
 
 
+def serve_cmd(args):
+    """Long-running HTTP pose service over exported AOT artifacts.
+
+    Deployment surface the reference lacks entirely (its "serving" is
+    re-running train_lm.py -state=eval over a directory): load per-object
+    artifacts once, then answer POST /pose requests until killed.  See
+    gdm_tpu/server.py for the wire protocol.
+    """
+    from gdm_tpu.server import PoseService, load_artifact_tree, make_server
+    from gdm_tpu.utils.logging import get_logger
+
+    log = get_logger("serve")
+    try:
+        artifacts = load_artifact_tree(args.artifact)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    for name, art in sorted(artifacts.items()):
+        log.info("loaded %s (batch %d, platforms %s)", name,
+                 next(iter(art.meta["raw_spec"].values()))[0][0],
+                 ",".join(art.platforms))
+    service = PoseService(artifacts)
+    if not args.no_warmup:
+        log.info("warming up %d object(s)...", len(artifacts))
+        service.warmup()
+    server = make_server(service, args.host, args.port)
+    host, port = server.server_address[:2]
+    log.info("serving %d object(s) on http://%s:%d  "
+             "(POST /pose, GET /healthz, GET /meta)",
+             len(artifacts), host, port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        log.info("shutting down")
+    finally:
+        server.server_close()
+
+
 def build_parser():
     p = argparse.ArgumentParser("gdm_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -1208,6 +1246,22 @@ def build_parser():
                    help="import reference .pth.tar checkpoints instead "
                         "of native orbax checkpoints")
     x.add_argument("--exact-knn", action="store_true")
+
+    v = sub.add_parser(
+        "serve",
+        help="HTTP pose service over exported AOT artifacts: load once, "
+             "answer POST /pose (npz in, npz poses out) until killed")
+    v.add_argument("--artifact", action="append", required=True,
+                   metavar="DIR",
+                   help="artifact directory (from export-serving), or a "
+                        "root whose subdirectories are artifacts; "
+                        "repeatable")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8360)
+    v.add_argument("--no-warmup", action="store_true",
+                   help="skip the synthetic warmup batch per object "
+                        "(first real request then pays the compile)")
+    v.add_argument("--profile-dir", default=None, help=argparse.SUPPRESS)
     return p
 
 
@@ -1224,6 +1278,8 @@ def main(argv=None):
             return infer(args)
         if args.command == "export-serving":
             return export_serving(args)
+        if args.command == "serve":
+            return serve_cmd(args)
         return evaluate(args)
 
 

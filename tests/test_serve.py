@@ -111,6 +111,122 @@ def test_artifact_matches_live_path(setup, tmp_path):
                                atol=1e-4)
 
 
+@pytest.fixture(scope="module")
+def artifact_dir(setup, tmp_path_factory):
+    """One exported artifact shared by all server tests."""
+    from gdm_tpu import serve
+
+    model, mesh, variables, mesh_feats, raw = setup
+    out = str(tmp_path_factory.mktemp("serving") / "synthetic")
+    serve.export_serving_artifact(
+        out,
+        apply_fn=model.apply, variables=variables, mesh_input=mesh,
+        mesh_feats=mesh_feats, mesh_xyz=mesh.xyz,
+        raw_spec=serve.raw_input_spec(BATCH, IM, N_SAMPLE,
+                                      fill_depth=False),
+        fill_depth=False, needs_pyramid=True, knn_chunk=KNN_CHUNK,
+        exact_knn=False, refine=None, icp_reject=0.01,
+        platforms=("cpu",), meta={"obj_name": "synthetic"})
+    return out
+
+
+@pytest.fixture(scope="module")
+def pose_server(artifact_dir):
+    """A live PoseService + HTTP server on an ephemeral port."""
+    import threading
+
+    from gdm_tpu import serve
+    from gdm_tpu.server import PoseService, make_server
+
+    service = PoseService({"synthetic": serve.load_artifact(artifact_dir)})
+    server = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    yield service, f"http://{host}:{port}"
+    server.shutdown()
+    server.server_close()
+    t.join(timeout=10)
+
+
+def test_server_pose_roundtrip(setup, artifact_dir, pose_server):
+    """POST /pose over real HTTP reproduces the direct artifact call,
+    including the short-batch pad/slice path."""
+    from gdm_tpu import serve
+    from gdm_tpu.server import request_poses
+
+    _, _, _, _, raw = setup
+    service, url = pose_server
+    art = serve.load_artifact(artifact_dir)
+    direct = np.asarray(art.run(raw))
+
+    poses, ms = request_poses(url, raw)                 # full batch
+    assert poses.shape == (BATCH, 3, 4) and ms > 0
+    np.testing.assert_allclose(poses, direct, rtol=0, atol=1e-5)
+
+    raw1 = {k: v[:1] for k, v in raw.items()}           # padded batch
+    poses1, _ = request_poses(url, raw1, obj="synthetic")
+    assert poses1.shape == (1, 3, 4)
+    np.testing.assert_allclose(poses1, direct[:1], rtol=0, atol=1e-5)
+
+
+def test_server_routes_and_errors(setup, pose_server):
+    import json
+    from urllib.request import urlopen
+
+    from gdm_tpu.server import request_poses, synthetic_raw
+
+    _, _, _, _, raw = setup
+    service, url = pose_server
+
+    with urlopen(url + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["objects"] == ["synthetic"]
+    assert h["platforms"]["synthetic"] == ["cpu"]
+
+    with urlopen(url + "/meta?obj=synthetic", timeout=30) as r:
+        meta = json.loads(r.read())
+    assert meta["obj_name"] == "synthetic"
+    assert meta["raw_spec"]["rgb_u8"] == [[BATCH, IM, IM, 3], "uint8"]
+
+    # the synthetic warmup batch matches the artifact contract
+    warm = synthetic_raw(meta)
+    poses, _ = service.run("synthetic", warm)
+    assert poses.shape == (BATCH, 3, 4)
+    assert np.all(np.isfinite(poses))
+
+    with pytest.raises(RuntimeError, match="unknown object"):
+        request_poses(url, raw, obj="nope")
+    bad = dict(raw)
+    bad["dpt_m"] = raw["dpt_m"].astype(np.float64)      # wrong dtype
+    with pytest.raises(RuntimeError, match="dtype"):
+        request_poses(url, bad)
+    with pytest.raises(RuntimeError, match="missing"):
+        request_poses(url, {k: v for k, v in raw.items()
+                            if k != "choose"})
+    over = {k: np.repeat(v, 2, axis=0) for k, v in raw.items()}
+    with pytest.raises(RuntimeError, match="batch"):
+        request_poses(url, over)                        # b > artifact cap
+
+
+def test_load_artifact_tree(artifact_dir, tmp_path):
+    """cli serve's discovery: direct dirs, root-of-artifacts scan,
+    duplicate names and artifact-free roots rejected."""
+    from gdm_tpu.server import load_artifact_tree
+
+    arts = load_artifact_tree([artifact_dir])           # direct
+    assert sorted(arts) == ["synthetic"]
+
+    root = osp.dirname(artifact_dir)                    # root scan
+    arts = load_artifact_tree([root])
+    assert sorted(arts) == ["synthetic"]
+
+    with pytest.raises(ValueError, match="duplicate"):
+        load_artifact_tree([artifact_dir, root])
+    with pytest.raises(ValueError, match="no artifact"):
+        load_artifact_tree([str(tmp_path)])
+
+
 def test_artifact_refuses_newer_format(setup, tmp_path):
     import json
 
