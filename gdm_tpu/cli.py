@@ -459,6 +459,16 @@ def train(args):
         state = create_train_state(
             model, jax.random.PRNGKey(args.seed + cls_id), sample_inputs,
             mesh_input, lr, weight_decay=sol.weight_decay, tx=tx)
+        pretrained = (args.pretrained_backbone
+                      or cfg.model.pretrained_backbone)
+        if pretrained:
+            if not needs_pyramid:   # dgcnn variant has no CNN branch
+                raise SystemExit("--pretrained-backbone needs the "
+                                 "randla_spline (FFB6D) backbone")
+            from gdm_tpu.train.import_torch import load_pretrained_backbone
+
+            state = load_pretrained_backbone(state, pretrained)
+            log.info("CNN backbone initialised from %s", pretrained)
         state = replicate(state, dev_mesh)
 
         ckpt_dir = osp.join(args.ckpt_root, "checkpoints", obj_name)
@@ -904,6 +914,11 @@ def score(args):
     (the file `eval` writes — scene_id,im_id,obj_id,score,R,t[mm],time),
     recompute every pose error against the dataset GT, and print/dump
     the same metric table the online evaluator produces (incl. --vsd).
+
+    --targets restricts scoring to a BOP test-targets JSON
+    (test_targets_bop19.json: [{scene_id, im_id, obj_id, inst_count}]),
+    the eval_pose_results_more.py --targets_filename protocol — GT
+    frames and predictions outside the target list are both ignored.
     """
     from gdm_tpu.data.dataset import PoseDataset
     from gdm_tpu.configs.base import get_config
@@ -920,6 +935,16 @@ def score(args):
             osp.join(args.data_root, "models"))
     except FileNotFoundError:
         models_info = {}
+
+    targets = None
+    if args.targets:
+        import json
+
+        with open(args.targets) as f:
+            targets = {(int(t["scene_id"]), int(t["im_id"]),
+                        int(t["obj_id"])) for t in json.load(f)}
+        if not targets:
+            raise SystemExit(f"{args.targets}: no targets parsed")
 
     diameters, models_pts, sym_rots, vsd_meshes, gts = {}, {}, {}, {}, {}
     sym_tfs = {}
@@ -938,8 +963,20 @@ def score(args):
             sym_tfs[obj_name] = sym_tf
         ds = PoseDataset(cfg, cls_id, "test",
                          diameter_m=diameter, data_root=args.data_root)
-        gts[obj_name] = _gts_from_annos(ds)
+        obj_gts = _gts_from_annos(ds)
+        if targets is not None:
+            obj_gts = {
+                fn: gt for fn, gt in obj_gts.items()
+                if (int(fn.split("/")[0]), int(fn.split("/")[1]),
+                    cls_id) in targets}
+            if not obj_gts:
+                log.info("%s: no targeted frames — skipped", obj_name)
+                continue
+        gts[obj_name] = obj_gts
 
+    if not gts:
+        raise SystemExit("no GT frames to score (targets filtered "
+                         "everything out?)")
     evaluator = Evaluator(
         args.dataset, list(gts), diameters, models_pts,
         sym_objs=cfg.data.sym_objs, sym_rots=sym_rots,
@@ -964,6 +1001,9 @@ def score(args):
             if obj_id not in refd.id2obj:
                 continue
             s = float(parts[3])
+            if (targets is not None
+                    and (int(scene), int(im), obj_id) not in targets):
+                continue
             key = (obj_id, int(scene), int(im))
             if key not in best or s > best[key][0]:
                 best[key] = (s, parts)
@@ -1159,6 +1199,10 @@ def build_parser():
                         "config sequentially (one shared compile)")
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--pretrained-backbone", default=None,
+                   help="torchvision resnet .pth/.npz: ImageNet init for "
+                        "the CNN branch (the reference's pretrained=True; "
+                        "overrides model.pretrained_backbone)")
     t.add_argument("--eval-every", type=int, default=None,
                    help="validate on the test split every N epochs "
                         "(ADD(-S) recall@0.1d + VOC AUC, logged to the "
@@ -1225,6 +1269,11 @@ def build_parser():
     s.add_argument("--cls-id", type=int, default=None)
     s.add_argument("--output-dir", default=None)
     s.add_argument("--vsd", action="store_true")
+    s.add_argument("--targets", default=None,
+                   help="BOP test-targets JSON (test_targets_bop19.json) "
+                        "— score only the listed (scene, im, obj) "
+                        "instances, the eval_pose_results_more.py "
+                        "--targets_filename protocol")
 
     x = sub.add_parser(
         "export-serving",

@@ -42,6 +42,9 @@ class ModelConfig:
     # (heads/losses/mesh branch stay f32; BN statistics always f32)
     gather_bwd_dtype: str = "float32"  # 'bfloat16': ~2x faster RandLA
     # backward one-hot contraction, ~0.4% gradient noise (randla.py)
+    pretrained_backbone: str = ""    # torchvision resnet .pth/.npz path:
+    # ImageNet init for the CNN branch, the reference's pretrained=True
+    # (models/cnn/pspnet.py:50-53); empty = random init
     randla_d_out: Sequence[int] = (32, 64, 128, 256)
     randla_k: int = 16
     mesh_knn_k: int = 4

@@ -386,6 +386,122 @@ def export_state_dict(params, batch_stats, like: dict | None = None) -> dict:
     return out
 
 
+def _tv_resnet_key(path: tuple[str, ...], collection: str):
+    """flax ResNetFeats leaf path -> torchvision resnet state_dict key.
+
+    Torchvision naming: conv1/bn1 stem, ``layer{L}.{b}.conv{1,2}``,
+    ``layer{L}.{b}.bn{1,2}``, ``layer{L}.{b}.downsample.{0,1}``; the
+    classifier head ``fc.*`` has no counterpart here (ResNetFeats stops
+    at layer4, extractors.py:200)."""
+    leaf, node = path[-1], path[0]
+    if node == "conv1":
+        return "conv1.weight", _conv2d_fwd
+    if node == "bn1":
+        return _map_bn("bn1", leaf, collection)
+    stage, block = node[len("layer"):].split("_")
+    base = f"layer{stage}.{block}"
+    child = path[1]
+    if child in ("conv1", "conv2"):
+        return f"{base}.{child}.weight", _conv2d_fwd
+    if child == "downsample_conv":
+        return f"{base}.downsample.0.weight", _conv2d_fwd
+    if child == "downsample_bn":
+        return _map_bn(f"{base}.downsample.1", leaf, collection)
+    return _map_bn(f"{base}.{child}", leaf, collection)
+
+
+def import_torchvision_resnet(params, batch_stats, torch_state: dict,
+                              subtree=("pcd_emb", "cnn", "feats")):
+    """Initialise the ResNet backbone from a torchvision ImageNet
+    checkpoint (resnet18-5c106cde.pth / resnet34-333f7ec4.pth).
+
+    The reference trains its CNN branch from these weights
+    (models/cnn/pspnet.py:50-53 ``pretrained=True`` ->
+    extractors.py:203-211 model_zoo download) but loads them
+    POSITIONALLY — ``load_weights_sequential`` (extractors.py:25-29)
+    zips two state dicts by order, which misaligns as soon as the
+    target has ``num_batches_tracked`` buffers the source file predates
+    (every torch >= 0.4).  Deliberate deviation: load by NAME.
+
+    Args:
+      params/batch_stats: full GeoMatch variable trees (shape spec).
+      torch_state: torchvision state_dict ({name: tensor/ndarray}).
+      subtree: path of the ResNetFeats module inside `params`.
+
+    Returns (new_params, new_batch_stats, report); raises if any
+    backbone leaf is missing or a shape mismatches (e.g. resnet34
+    weights into a resnet18 ``model.backend_layers`` config).
+    """
+    torch_np = {k: np.asarray(v) for k, v in torch_state.items()}
+    new = {"params": params, "batch_stats": batch_stats}
+    used = set()
+
+    def _set(t, ks, v):
+        """Replace the subtree immutably (trees may be FrozenDict-like)."""
+        if not ks:
+            return v
+        d = dict(t)
+        d[ks[0]] = _set(d[ks[0]], ks[1:], v)
+        return d
+
+    for col in ("params", "batch_stats"):
+        tree = new[col]
+        node = tree
+        for name in subtree:
+            if name not in node:
+                raise KeyError(
+                    f"{col} has no {'/'.join(subtree)} backbone subtree "
+                    f"(is model.backbone a CNN-branch architecture?)")
+            node = node[name]
+        flat = flatten_dict(node)
+        out_flat = {}
+        for path in flat:
+            tkey, conv = _tv_resnet_key(tuple(str(x) for x in path), col)
+            if tkey not in torch_np:
+                raise KeyError(f"torchvision checkpoint is missing {tkey}")
+            val = conv(torch_np[tkey])
+            used.add(tkey)
+            want = np.shape(flat[path])
+            if tuple(val.shape) != tuple(want):
+                raise ValueError(
+                    f"shape mismatch at {col}:{'/'.join(map(str, path))} "
+                    f"<- {tkey}: torch {val.shape} vs flax {want} (wrong "
+                    f"resnet depth for model.backend_layers?)")
+            out_flat[path] = val.astype(np.asarray(flat[path]).dtype)
+        new[col] = _set(new[col], list(subtree), unflatten_dict(out_flat))
+    report = {"unused": sorted(
+        k for k in set(torch_np) - used
+        if not k.startswith("fc.")
+        and not k.endswith("num_batches_tracked"))}
+    return new["params"], new["batch_stats"], report
+
+
+def load_pretrained_backbone(state, path: str):
+    """TrainState with the CNN backbone initialised from a torchvision
+    resnet checkpoint (the reference's ``pretrained=True`` ImageNet
+    init).  `path` is a ``.pth`` torch pickle (needs torch-cpu) or an
+    ``.npz`` of the same tensors by torchvision name (torch-free)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            sd = {k: z[k] for k in z.files}
+    else:
+        import torch
+
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) \
+            else blob
+        sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+              for k, v in sd.items()}
+    params, stats, report = import_torchvision_resnet(
+        state.params, state.batch_stats, sd)
+    if report["unused"]:
+        import warnings
+
+        warnings.warn("torchvision import: unused tensors "
+                      f"{report['unused'][:5]}...")
+    return state.replace(params=params, batch_stats=stats)
+
+
 def load_torch_reference_checkpoint(state, ckpt_dir_or_file: str):
     """Load `<dir>/geomatch.pth.tar` (test_lm path, train_lm.py:331-340)
     into a TrainState.  Requires torch (cpu) to unpickle."""

@@ -326,6 +326,50 @@ def bop_root_2obj(tmp_path_factory):
     return root
 
 
+def test_score_targets(mini_preset, bop_root, tmp_path):
+    """--targets restricts offline scoring to a BOP test-targets JSON
+    (the eval_pose_results_more.py --targets_filename protocol)."""
+    import json
+
+    with open(osp.join(bop_root, "test", "000000", "scene_gt.json")) as f:
+        gt = json.load(f)
+    rows = ["scene_id,im_id,obj_id,score,R,t,time"]
+    for i in sorted(gt, key=int):
+        g = gt[i][0]
+        t_mm = list(g["cam_t_m2c"])
+        t_mm[0] += 1.5 * int(i)       # distinct per-frame ad errors
+        rows.append(
+            f"0,{i},1,-1,{' '.join(str(x) for x in g['cam_R_m2c'])},"
+            f"{' '.join(str(x) for x in t_mm)},0.0")
+    csv = tmp_path / "near_perfect.csv"
+    csv.write_text("\n".join(rows))
+
+    full = cli.main(["score", "--dataset", "lmo", "--data-root", bop_root,
+                     "--csv", str(csv)])
+    assert len(full["errors"]["ape"]["ad"]) == 4
+    assert full["recalls"]["ape"]["ad_10"] == [1.0] * 4  # <= 4.5 mm offsets
+
+    tjson = tmp_path / "targets.json"
+    tjson.write_text(json.dumps([
+        {"scene_id": 0, "im_id": 0, "obj_id": 1, "inst_count": 1},
+        {"scene_id": 0, "im_id": 2, "obj_id": 1, "inst_count": 1},
+    ]))
+    part = cli.main(["score", "--dataset", "lmo", "--data-root", bop_root,
+                     "--csv", str(csv), "--targets", str(tjson)])
+    # only the targeted frames scored, in GT order
+    assert part["errors"]["ape"]["ad"] == pytest.approx(
+        [full["errors"]["ape"]["ad"][0], full["errors"]["ape"]["ad"][2]])
+    assert part["recalls"]["ape"]["ad_10"] == [1.0] * 2
+
+    # targets that match nothing -> explicit failure, not a 0-frame table
+    none = tmp_path / "none.json"
+    none.write_text(json.dumps(
+        [{"scene_id": 9, "im_id": 0, "obj_id": 1, "inst_count": 1}]))
+    with pytest.raises(SystemExit, match="no GT frames"):
+        cli.main(["score", "--dataset", "lmo", "--data-root", bop_root,
+                  "--csv", str(csv), "--targets", str(none)])
+
+
 def test_eval_two_objects_shares_compile(monkeypatch_module, bop_root_2obj,
                                          tmp_path_factory):
     """Multi-object eval: one init/jit set serves both objects and the

@@ -269,3 +269,117 @@ class TestRoundTrip:
         got_p, _, report = import_state_dict(params, stats, sd)
         np.testing.assert_array_equal(
             np.asarray(got_p["model_emb"]["conv_0"]["root"]), root)
+
+
+class TestTorchvisionBackbone:
+    """ImageNet backbone init (import_torchvision_resnet): the
+    reference's pretrained=True (models/cnn/pspnet.py:50-53), loaded by
+    NAME instead of extractors.py:25-29's positional zip (which
+    misaligns on num_batches_tracked buffers)."""
+
+    def _tv_state(self, params, stats, rng):
+        """Synthesize a torchvision-style resnet state_dict whose shapes
+        match the fixture's backbone, plus the extras a real ImageNet
+        file carries (fc head, BN step counters)."""
+        from flax.traverse_util import flatten_dict
+
+        from gdm_tpu.train.import_torch import _tv_resnet_key
+
+        sd = {}
+        for col, tree in (("params", params), ("batch_stats", stats)):
+            flat = flatten_dict(tree["pcd_emb"]["cnn"]["feats"])
+            for path, leaf in flat.items():
+                tkey, conv = _tv_resnet_key(
+                    tuple(str(x) for x in path), col)
+                if tkey in sd:
+                    continue
+                shape = np.shape(leaf)
+                if conv.__name__ == "_conv2d_fwd":     # HWIO -> OIHW
+                    shape = (shape[3], shape[2], shape[0], shape[1])
+                sd[tkey] = rng.randn(*shape).astype(np.float32)
+        sd["fc.weight"] = rng.randn(1000, 512).astype(np.float32)
+        sd["fc.bias"] = rng.randn(1000).astype(np.float32)
+        sd["bn1.num_batches_tracked"] = np.int64(7)
+        return sd
+
+    def test_import_replaces_backbone_only(self, trees):
+        from flax.traverse_util import flatten_dict
+
+        from gdm_tpu.train.import_torch import import_torchvision_resnet
+
+        params, stats = trees
+        sd = self._tv_state(params, stats, np.random.RandomState(3))
+        new_p, new_s, report = import_torchvision_resnet(params, stats, sd)
+        assert report["unused"] == []
+        # conv layout: OIHW -> HWIO
+        np.testing.assert_array_equal(
+            np.asarray(new_p["pcd_emb"]["cnn"]["feats"]["conv1"]["kernel"]),
+            np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+        # BN affine + running stats by name
+        feats_s = new_s["pcd_emb"]["cnn"]["feats"]
+        np.testing.assert_array_equal(
+            np.asarray(feats_s["bn1"]["mean"]), sd["bn1.running_mean"])
+        np.testing.assert_array_equal(
+            np.asarray(new_p["pcd_emb"]["cnn"]["feats"]["layer2_0"]
+                       ["downsample_bn"]["scale"]),
+            sd["layer2.0.downsample.1.weight"])
+        # every backbone leaf replaced, nothing outside it touched
+        for col, old, new in (("params", params, new_p),
+                              ("batch_stats", stats, new_s)):
+            fo, fn = flatten_dict(old), flatten_dict(new)
+            assert set(fo) == set(fn)
+            for k in fo:
+                inside = k[:3] == ("pcd_emb", "cnn", "feats")
+                same = np.array_equal(np.asarray(fo[k]), np.asarray(fn[k]))
+                if not inside:
+                    assert same, "/".join(map(str, k))
+
+    def test_shape_mismatch_raises(self, trees):
+        from gdm_tpu.train.import_torch import import_torchvision_resnet
+
+        params, stats = trees
+        sd = self._tv_state(params, stats, np.random.RandomState(4))
+        sd["layer1.0.conv1.weight"] = np.zeros((65, 64, 3, 3), np.float32)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            import_torchvision_resnet(params, stats, sd)
+
+    def test_missing_key_raises(self, trees):
+        from gdm_tpu.train.import_torch import import_torchvision_resnet
+
+        params, stats = trees
+        sd = self._tv_state(params, stats, np.random.RandomState(5))
+        del sd["conv1.weight"]
+        with pytest.raises(KeyError, match="conv1.weight"):
+            import_torchvision_resnet(params, stats, sd)
+
+    def test_load_pretrained_backbone_npz_and_pth(self, trees, tmp_path):
+        from gdm_tpu.train.import_torch import load_pretrained_backbone
+
+        params, stats = trees
+        sd = self._tv_state(params, stats, np.random.RandomState(6))
+
+        class S:
+            def __init__(self, p, s):
+                self.params, self.batch_stats = p, s
+
+            def replace(self, **kw):
+                return S(kw.get("params", self.params),
+                         kw.get("batch_stats", self.batch_stats))
+
+        npz = tmp_path / "resnet.npz"
+        np.savez(npz, **sd)
+        got = load_pretrained_backbone(S(params, stats), str(npz))
+        np.testing.assert_array_equal(
+            np.asarray(got.params["pcd_emb"]["cnn"]["feats"]["conv1"]
+                       ["kernel"]),
+            np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+
+        torch = pytest.importorskip("torch")
+        pth = tmp_path / "resnet18.pth"
+        torch.save({k: torch.from_numpy(np.asarray(v).copy())
+                    for k, v in sd.items()}, str(pth))
+        got2 = load_pretrained_backbone(S(params, stats), str(pth))
+        np.testing.assert_array_equal(
+            np.asarray(got2.batch_stats["pcd_emb"]["cnn"]["feats"]["bn1"]
+                       ["var"]),
+            sd["bn1.running_var"])
