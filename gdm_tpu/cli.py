@@ -403,6 +403,9 @@ def train(args):
     state = None
     lr = None
     val_jits = None
+    pretrained = (args.pretrained_backbone
+                  or cfg.model.pretrained_backbone)
+    pretrained_sd = None
 
     for cls_id in cls_ids:
         obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
@@ -459,15 +462,18 @@ def train(args):
         state = create_train_state(
             model, jax.random.PRNGKey(args.seed + cls_id), sample_inputs,
             mesh_input, lr, weight_decay=sol.weight_decay, tx=tx)
-        pretrained = (args.pretrained_backbone
-                      or cfg.model.pretrained_backbone)
         if pretrained:
             if not needs_pyramid:   # dgcnn variant has no CNN branch
                 raise SystemExit("--pretrained-backbone needs the "
                                  "randla_spline (FFB6D) backbone")
-            from gdm_tpu.train.import_torch import load_pretrained_backbone
+            from gdm_tpu.train.import_torch import (
+                load_pretrained_backbone,
+                read_torchvision_state,
+            )
 
-            state = load_pretrained_backbone(state, pretrained)
+            if pretrained_sd is None:   # read ONCE across --cls-id all
+                pretrained_sd = read_torchvision_state(pretrained)
+            state = load_pretrained_backbone(state, pretrained_sd)
             log.info("CNN backbone initialised from %s", pretrained)
         state = replicate(state, dev_mesh)
 
@@ -1063,19 +1069,15 @@ def export_serving(args):
                   else cfg.data.nn_dist_th * diameter)
 
     # zero-filled raw batch derived from the SAME spec the artifact is
-    # traced against (serve.raw_input_spec), so a loader-contract change
-    # cannot desynchronise the init shapes from the exported program.
-    # dpt_m/K_crop get non-degenerate fills (backprojection divides by
-    # fx/fy); init only consumes shapes/dtypes beyond that.
+    # traced against (serve.raw_input_spec) with the SAME non-degenerate
+    # dpt/K fills the serve daemon's warmup uses (serve.synthetic_raw),
+    # so a loader-contract change cannot desynchronise the init shapes
+    # or fills from the exported program.
+    from gdm_tpu.serve import synthetic_raw
+
     raw_spec = raw_input_spec(batch, im, n_pts, cfg.data.fill_depth,
                               with_det=False)
-    raw = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), raw_spec)
-    raw["dpt_m"] = jnp.full((batch, im, im), 0.5, jnp.float32)
-    raw["K_crop"] = jnp.tile(jnp.asarray(
-        [[500.0, 0, im / 2], [0, 500.0, im / 2], [0, 0, 1]],
-        jnp.float32), (batch, 1, 1))
-    if cfg.data.fill_depth:
-        raw["dpt_filled"] = raw["dpt_m"]
+    raw = {k: jnp.asarray(v) for k, v in synthetic_raw(raw_spec).items()}
     raw.update({                       # GT-only extras init also traces
         "labels": jnp.zeros((batch, n_pts), jnp.int32),
         "origin_labels": jnp.zeros((batch, n_pts), jnp.int32),
@@ -1136,7 +1138,7 @@ def serve_cmd(args):
     log = get_logger("serve")
     try:
         artifacts = load_artifact_tree(args.artifact)
-    except ValueError as e:
+    except (ValueError, OSError) as e:     # bad name, missing/non-dir path
         raise SystemExit(str(e))
     for name, art in sorted(artifacts.items()):
         log.info("loaded %s (batch %d, platforms %s)", name,

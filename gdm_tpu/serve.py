@@ -62,6 +62,33 @@ def raw_input_spec(batch: int, im_size: int, n_sample: int,
     return s
 
 
+def synthetic_raw(spec: dict) -> dict:
+    """Zero-information numpy batch for a raw-input spec, with
+    non-degenerate depth/intrinsics fills (the finalize stage
+    backprojects, dividing by fx/fy; zero K would NaN every point).
+
+    Accepts either the live ShapeDtypeStruct spec (:func:`raw_input_spec`)
+    or the serialized ``meta['raw_spec']`` form ({key: [shape, dtype]}),
+    so the `cli export-serving` trace init and the serve daemon's warmup
+    batch share ONE definition of which keys need non-zero fills."""
+    import numpy as np
+
+    raw = {}
+    for k, v in spec.items():
+        shape, dtype = ((v.shape, v.dtype) if hasattr(v, "shape")
+                        else (tuple(v[0]), v[1]))
+        raw[k] = np.zeros(shape, np.dtype(str(dtype)))
+    for k in ("dpt_m", "dpt_filled"):
+        if k in raw:
+            raw[k] += np.float32(0.5)
+    if "K_crop" in raw:
+        im = raw["rgb_u8"].shape[1] if "rgb_u8" in raw else 256
+        raw["K_crop"] += np.asarray(
+            [[500.0, 0, im / 2], [0, 500.0, im / 2], [0, 0, 1]],
+            raw["K_crop"].dtype)
+    return raw
+
+
 def export_serving_artifact(
     out_dir: str,
     *,
@@ -168,17 +195,48 @@ class ServingArtifact:
         with open(osp.join(path, _INFER), "rb") as f:
             self._inf = jexport.deserialize(f.read())
 
+        # exported programs only lower for the platforms they were
+        # exported with; when the process default backend isn't one of
+        # them, pin execution to a device of a platform that IS (fail at
+        # load with a clear message, not per-request deep in lowering)
+        import jax
+
+        self._device = None
+        if jax.default_backend() not in self.platforms:
+            for p in self.platforms:
+                try:
+                    self._device = jax.devices(p)[0]
+                    break
+                except RuntimeError:
+                    continue
+            if self._device is None:
+                raise ValueError(
+                    f"artifact {path} was lowered for {self.platforms}; "
+                    f"none of those platforms exist here (default "
+                    f"backend {jax.default_backend()!r}) — re-export "
+                    f"with --platforms including it")
+
     @property
     def platforms(self):
         return self._inf.platforms
 
+    def _ctx(self):
+        import contextlib
+
+        import jax
+
+        return (contextlib.nullcontext() if self._device is None
+                else jax.default_device(self._device))
+
     def finalize(self, raw: dict):
         """Host arrays (see meta['raw_spec']) -> finalized device batch."""
-        return self._fin.call(raw)
+        with self._ctx():
+            return self._fin.call(raw)
 
     def infer(self, fin: dict):
         """Finalized batch -> poses [B, 3, 4]."""
-        return self._inf.call(fin)
+        with self._ctx():
+            return self._inf.call(fin)
 
     def run(self, raw: dict):
         """Convenience: finalize + infer in one call."""

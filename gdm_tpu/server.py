@@ -61,6 +61,13 @@ class PoseService:
             raise ValueError("no artifacts")
         self.artifacts = dict(artifacts)
         self._lock = threading.Lock()
+        # request-body sanity cap: a full-batch uncompressed npz of the
+        # largest artifact, x4 headroom (npz framing, client padding) —
+        # bounds the allocation a hostile Content-Length can force
+        self.max_body_bytes = 4 * max(
+            sum(int(np.prod(shape)) * np.dtype(dtype).itemsize
+                for shape, dtype in a.meta["raw_spec"].values())
+            for a in self.artifacts.values())
 
     def resolve(self, obj: str | None):
         if obj is None:
@@ -164,22 +171,12 @@ def load_artifact_tree(paths) -> dict:
 
 def synthetic_raw(meta: dict) -> dict:
     """A valid zero-information batch for an artifact's raw_spec —
-    non-degenerate depth/intrinsics (the finalize stage backprojects,
-    dividing by fx/fy), zeros elsewhere.  Mirrors the init fill of
-    `cli export-serving`."""
-    raw = {}
-    for k, (shape, dtype) in meta["raw_spec"].items():
-        raw[k] = np.zeros(shape, dtype)
-    if "dpt_m" in raw:
-        raw["dpt_m"] += np.float32(0.5)
-    if "dpt_filled" in raw:
-        raw["dpt_filled"] += np.float32(0.5)
-    if "K_crop" in raw:
-        im = raw["rgb_u8"].shape[1] if "rgb_u8" in raw else 256
-        raw["K_crop"] += np.asarray(
-            [[500.0, 0, im / 2], [0, 500.0, im / 2], [0, 0, 1]],
-            raw["K_crop"].dtype)
-    return raw
+    the SAME fill definition `cli export-serving` traces against
+    (gdm_tpu.serve.synthetic_raw), so a loader-contract change cannot
+    desynchronise the warmup batch from the exported program."""
+    from gdm_tpu.serve import synthetic_raw as _fill
+
+    return _fill(meta["raw_spec"])
 
 
 def encode_arrays(arrays: dict) -> bytes:
@@ -207,6 +204,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:   # early exits that left a body unread
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -237,12 +236,28 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_json(e.code, {"error": str(e)})
 
     def do_POST(self):
+        # early-exit replies that leave the body unread must close the
+        # connection: under HTTP/1.1 keep-alive the unread npz bytes
+        # would otherwise be parsed as the NEXT request line
         path = urlsplit(self.path).path
-        if path != "/pose":
-            self._reply_json(404, {"error": f"no route {path}"})
-            return
         try:
             n = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self.close_connection = True
+            self._reply_json(400, {"error": "bad Content-Length"})
+            return
+        if path != "/pose":
+            self.close_connection = True
+            self._reply_json(404, {"error": f"no route {path}"})
+            return
+        if n <= 0 or n > self.service.max_body_bytes:
+            self.close_connection = True
+            self._reply_json(413 if n > 0 else 400, {
+                "error": f"body size {n} outside (0, "
+                         f"{self.service.max_body_bytes}] (4x the "
+                         "largest artifact's full-batch npz)"})
+            return
+        try:
             try:
                 raw = decode_arrays(self.rfile.read(n))
             except Exception as e:
@@ -273,9 +288,11 @@ def request_poses(url: str, raw: dict, obj: str | None = None,
     ``url`` is the server base, e.g. ``http://127.0.0.1:8360``.  Raises
     RuntimeError with the server's error message on non-200."""
     from urllib.error import HTTPError
+    from urllib.parse import quote
     from urllib.request import Request, urlopen
 
-    target = url.rstrip("/") + "/pose" + (f"?obj={obj}" if obj else "")
+    target = url.rstrip("/") + "/pose" + (
+        f"?obj={quote(obj, safe='')}" if obj else "")
     req = Request(target, data=encode_arrays(raw),
                   headers={"Content-Type": "application/octet-stream"})
     try:

@@ -476,22 +476,29 @@ def import_torchvision_resnet(params, batch_stats, torch_state: dict,
     return new["params"], new["batch_stats"], report
 
 
-def load_pretrained_backbone(state, path: str):
-    """TrainState with the CNN backbone initialised from a torchvision
-    resnet checkpoint (the reference's ``pretrained=True`` ImageNet
-    init).  `path` is a ``.pth`` torch pickle (needs torch-cpu) or an
-    ``.npz`` of the same tensors by torchvision name (torch-free)."""
+def read_torchvision_state(path: str) -> dict:
+    """{name: ndarray} from a torchvision resnet checkpoint: a ``.pth``
+    torch pickle (loaded ``weights_only`` — a state_dict needs no
+    pickled code) or an ``.npz`` of the same tensors (torch-free)."""
     if path.endswith(".npz"):
         with np.load(path) as z:
-            sd = {k: z[k] for k in z.files}
-    else:
-        import torch
+            return {k: z[k] for k in z.files}
+    import torch
 
-        blob = torch.load(path, map_location="cpu", weights_only=False)
-        sd = blob.get("state_dict", blob) if isinstance(blob, dict) \
-            else blob
-        sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-              for k, v in sd.items()}
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def load_pretrained_backbone(state, weights):
+    """TrainState with the CNN backbone initialised from a torchvision
+    resnet checkpoint (the reference's ``pretrained=True`` ImageNet
+    init).  `weights` is a path (see :func:`read_torchvision_state`) or
+    an already-read {name: ndarray} dict (pass the dict when loading
+    the same file for many objects, e.g. ``--cls-id all``)."""
+    sd = (weights if isinstance(weights, dict)
+          else read_torchvision_state(weights))
     params, stats, report = import_torchvision_resnet(
         state.params, state.batch_stats, sd)
     if report["unused"]:

@@ -251,3 +251,83 @@ def test_artifact_refuses_newer_format(setup, tmp_path):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="newer"):
         serve.load_artifact(out)
+
+
+def test_server_http_robustness(setup, pose_server):
+    """Early-exit replies close the connection (an unread npz body on a
+    keep-alive socket would be parsed as the next request line) and
+    hostile Content-Length values are rejected before allocation."""
+    import http.client
+
+    from gdm_tpu.server import encode_arrays
+
+    _, _, _, _, raw = setup
+    service, url = pose_server
+    host, port = url[len("http://"):].split(":")
+    body = encode_arrays({k: v[:1] for k, v in raw.items()})
+
+    # wrong route with a body: 404 AND Connection: close
+    c = http.client.HTTPConnection(host, int(port), timeout=30)
+    c.request("POST", "/poses", body=body)
+    r = c.getresponse()
+    assert r.status == 404
+    assert (r.getheader("Connection") or "").lower() == "close"
+    r.read()
+    c.close()
+
+    # claimed body size beyond the sanity cap -> 413 without reading
+    c = http.client.HTTPConnection(host, int(port), timeout=30)
+    c.putrequest("POST", "/pose")
+    c.putheader("Content-Length", str(service.max_body_bytes + 1))
+    c.endheaders()
+    r = c.getresponse()
+    assert r.status == 413
+    r.read()
+    c.close()
+
+    # non-numeric Content-Length -> clean 400, not a 500
+    c = http.client.HTTPConnection(host, int(port), timeout=30)
+    c.putrequest("POST", "/pose")
+    c.putheader("Content-Length", "banana")
+    c.endheaders()
+    r = c.getresponse()
+    assert r.status == 400
+    r.read()
+    c.close()
+
+    # a well-formed request on a FRESH connection still works after the
+    # errors above (the daemon survived)
+    from gdm_tpu.server import request_poses
+
+    poses, _ = request_poses(url, {k: v[:1] for k, v in raw.items()})
+    assert poses.shape == (1, 3, 4)
+
+
+def test_server_obj_name_quoting(artifact_dir):
+    """Route names with URL-reserved characters survive the client
+    helper (request_poses must quote the obj query parameter)."""
+    import threading
+
+    from gdm_tpu import serve
+    from gdm_tpu.server import (
+        PoseService,
+        make_server,
+        request_poses,
+        synthetic_raw,
+    )
+
+    art = serve.load_artifact(artifact_dir)
+    service = PoseService({"blue cup": art})
+    server = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    try:
+        raw = synthetic_raw(art.meta)
+        poses, _ = request_poses(f"http://{host}:{port}", raw,
+                                 obj="blue cup")
+        assert poses.shape == (BATCH, 3, 4)
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
