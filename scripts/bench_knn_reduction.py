@@ -15,12 +15,16 @@ Timing per CLAUDE.md: queued jitted reps, one scalar device_get at the
 end of warmup AND inside the timed region.
 """
 
+import os.path as osp
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from gdm_tpu.data.synthetic import make_batch, make_object
 from gdm_tpu.ops.knn import pairwise_sqdist

@@ -331,3 +331,33 @@ def test_server_obj_name_quoting(artifact_dir):
         server.shutdown()
         server.server_close()
         t.join(timeout=10)
+
+
+def test_artifact_platform_fallback_and_fill(artifact_dir):
+    """A cpu-only artifact runs even when the process default backend is
+    another platform (ServingArtifact pins execution to a platform it
+    was lowered for); serve.synthetic_raw accepts both spec forms."""
+    import jax
+
+    from gdm_tpu import serve
+
+    art = serve.load_artifact(artifact_dir)
+    if jax.default_backend() not in art.platforms:
+        assert art._device is not None
+        assert art._device.platform == "cpu"
+    else:
+        assert art._device is None
+
+    # meta (serialized) form and live ShapeDtypeStruct form agree
+    a = serve.synthetic_raw(art.meta["raw_spec"])
+    b = serve.synthetic_raw(serve.raw_input_spec(
+        BATCH, IM, N_SAMPLE, fill_depth=False, with_det=True))
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].shape == b[k].shape and a[k].dtype == b[k].dtype
+        np.testing.assert_array_equal(a[k], b[k])
+    assert float(a["dpt_m"].min()) > 0          # non-degenerate depth
+    assert float(a["K_crop"][0, 0, 0]) > 0      # non-degenerate fx
+
+    poses = np.asarray(art.run(a))
+    assert poses.shape == (BATCH, 3, 4) and np.all(np.isfinite(poses))
