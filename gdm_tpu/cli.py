@@ -158,6 +158,26 @@ def _eval_object_metadata(cfg, refd, cls_id, data_root, want_vsd, log,
     return obj_name, diameter, pts, vsd_mesh, sym, sym_tf
 
 
+def _load_targets(path):
+    """BOP test-targets JSON -> {(scene_id, im_id, obj_id)} int triples
+    (test_targets_bop19.json: [{scene_id, im_id, obj_id, inst_count}])."""
+    import json
+
+    with open(path) as f:
+        targets = {(int(t["scene_id"]), int(t["im_id"]), int(t["obj_id"]))
+                   for t in json.load(f)}
+    if not targets:
+        raise SystemExit(f"{path}: no targets parsed")
+    return targets
+
+
+def _filter_targets(annos, targets, cls_id):
+    """Annotation records restricted to a BOP target set."""
+    return [r for r in annos
+            if (int(r.file_name.split("/")[0]),
+                int(r.file_name.split("/")[1]), cls_id) in targets]
+
+
 def _gts_from_annos(ds):
     """GT dict for the Evaluator (file_name -> pose/K/depth source)."""
     return {r.file_name: {"R": r.pose[:, :3], "t": r.pose[:, 3],
@@ -587,6 +607,7 @@ def evaluate(args):
     batch_size = args.batch_size or cfg.solver.val_batch_size
     dev_mesh = make_mesh(_select_devices(args))
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
+    targets = _load_targets(args.targets) if args.targets else None
 
     obj_names, diameters, models_pts, sym_rots = [], {}, {}, {}
     vsd_meshes, sym_tfs = {}, {}
@@ -624,8 +645,12 @@ def evaluate(args):
         ds = PoseDataset(cfg, cls_id, "test",
                          diameter_m=diameters[obj_name],
                          data_root=args.data_root)
+        if targets is not None:
+            # restrict both inference and scoring to the BOP target list
+            ds.annos = _filter_targets(ds.annos, targets, cls_id)
         if len(ds) == 0:
-            log.warning("no test annotations for %s", obj_name)
+            log.warning("no test annotations for %s%s", obj_name,
+                        " (after --targets filter)" if targets else "")
             continue
         gts[obj_name] = _gts_from_annos(ds)
         if evaluator is None:
@@ -799,6 +824,7 @@ def infer(args):
     model = None
     state_template = None
     encode_mesh = infer_step = None
+    targets = _load_targets(args.targets) if args.targets else None
     rows = []                       # (file_name, obj_id, pose [3,4], dt)
     for cls_id in cls_ids:
         obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
@@ -806,8 +832,11 @@ def infer(args):
         ds = PoseDataset(cfg, cls_id, "infer", diameter_m=diameter_m,
                          data_root=args.data_root,
                          detections_file=args.detections)
+        if targets is not None:
+            ds.annos = _filter_targets(ds.annos, targets, cls_id)
         if len(ds) == 0:
-            log.warning("no detections for %s", obj_name)
+            log.warning("no detections for %s%s", obj_name,
+                        " (after --targets filter)" if targets else "")
             continue
         model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
             cfg, diameter_m, mesh_fps, mesh_arr)
@@ -942,15 +971,7 @@ def score(args):
     except FileNotFoundError:
         models_info = {}
 
-    targets = None
-    if args.targets:
-        import json
-
-        with open(args.targets) as f:
-            targets = {(int(t["scene_id"]), int(t["im_id"]),
-                        int(t["obj_id"])) for t in json.load(f)}
-        if not targets:
-            raise SystemExit(f"{args.targets}: no targets parsed")
+    targets = _load_targets(args.targets) if args.targets else None
 
     diameters, models_pts, sym_rots, vsd_meshes, gts = {}, {}, {}, {}, {}
     sym_tfs = {}
@@ -969,16 +990,12 @@ def score(args):
             sym_tfs[obj_name] = sym_tf
         ds = PoseDataset(cfg, cls_id, "test",
                          diameter_m=diameter, data_root=args.data_root)
-        obj_gts = _gts_from_annos(ds)
         if targets is not None:
-            obj_gts = {
-                fn: gt for fn, gt in obj_gts.items()
-                if (int(fn.split("/")[0]), int(fn.split("/")[1]),
-                    cls_id) in targets}
-            if not obj_gts:
+            ds.annos = _filter_targets(ds.annos, targets, cls_id)
+            if len(ds) == 0:
                 log.info("%s: no targeted frames — skipped", obj_name)
                 continue
-        gts[obj_name] = obj_gts
+        gts[obj_name] = _gts_from_annos(ds)
 
     if not gts:
         raise SystemExit("no GT frames to score (targets filtered "
@@ -1228,6 +1245,10 @@ def build_parser():
     e.add_argument("--vsd", action="store_true",
                    help="also compute the BOP VSD metric (device-side "
                         "renders; needs models_eval PLYs with faces)")
+    e.add_argument("--targets", default=None,
+                   help="BOP test-targets JSON — evaluate only the "
+                        "listed (scene, im, obj) instances (skips "
+                        "inference on everything else)")
     e.add_argument("--exact-knn", action="store_true",
                    help="exact top-k for the aggregation KNN pyramid "
                         "(~7x slower; measured no pose-accuracy gain)")
@@ -1260,6 +1281,9 @@ def build_parser():
     i.add_argument("--save-viz", default=None, metavar="DIR",
                    help="write per-frame pose-overlay PNGs (prediction "
                         "only — no GT in infer mode)")
+    i.add_argument("--targets", default=None,
+                   help="BOP test-targets JSON — infer only the listed "
+                        "(scene, im, obj) instances")
 
     s = sub.add_parser(
         "score", help="offline re-scoring of a BOP results CSV "

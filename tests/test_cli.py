@@ -326,6 +326,32 @@ def bop_root_2obj(tmp_path_factory):
     return root
 
 
+def test_filter_targets_unit(tmp_path):
+    """The shared BOP-targets helpers eval/infer/score all route through."""
+    import json
+
+    from gdm_tpu.cli import _filter_targets, _load_targets
+
+    class R:
+        def __init__(self, fn):
+            self.file_name = fn
+
+    annos = [R("000000/000001"), R("000000/000002"), R("000001/000001")]
+    t = {(0, 1, 5), (1, 1, 5)}
+    out = _filter_targets(annos, t, 5)
+    assert [r.file_name for r in out] == ["000000/000001",
+                                          "000001/000001"]
+    assert _filter_targets(annos, t, 6) == []
+
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(
+        [{"scene_id": 0, "im_id": 1, "obj_id": 5, "inst_count": 1}]))
+    assert _load_targets(str(p)) == {(0, 1, 5)}
+    p.write_text("[]")
+    with pytest.raises(SystemExit, match="no targets"):
+        _load_targets(str(p))
+
+
 def test_score_targets(mini_preset, bop_root, tmp_path):
     """--targets restricts offline scoring to a BOP test-targets JSON
     (the eval_pose_results_more.py --targets_filename protocol)."""
