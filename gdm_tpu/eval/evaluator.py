@@ -140,9 +140,11 @@ class Evaluator:
         csv_lines = ["scene_id,im_id,obj_id,score,R,t,time"]
 
         for obj_name, obj_gts in gts.items():
-            if obj_name not in self._predictions:
-                continue
-            cur_preds = self._predictions[obj_name]
+            # an object with NO predictions at all (crashed loop, empty
+            # detector output) counts as all-miss through the per-frame
+            # sentinel path below — silently skipping it would INFLATE
+            # the averaged table/AUC/AR exactly when a whole object fails
+            cur_preds = self._predictions.get(obj_name, {})
             rec = {m: [] for m in METRIC_NAMES}
             err = {e: [] for e in ("ad", "re", "te", "proj",
                                    "mssd", "mspd", "mspd_640",
@@ -265,21 +267,18 @@ class Evaluator:
                         vsd_slots.append(len(err["vsd"]))
                         err["vsd"].append(None)
                         rec["vsd"].append(None)
+                    # flush in bounded chunks: full-frame f32 depths are
+                    # ~1.2 MB each, and a 1000-frame object would hold
+                    # them ALL before rendering while vsd_err_batch's
+                    # first step crops each to a small window anyway
+                    if len(vsd_poses) >= self._VSD_FLUSH:
+                        self._flush_vsd(obj_name, diameter, vsd_poses,
+                                        vsd_depths, vsd_ks, vsd_slots,
+                                        err, rec)
 
             if do_vsd and vsd_poses:
-                from gdm_tpu.eval.vsd import BOP19_CORRECT_TH, \
-                    vsd_err_batch
-
-                verts, faces_ = self.vsd_meshes[obj_name]
-                ves = vsd_err_batch(vsd_poses, vsd_depths,
-                                    np.stack(vsd_ks), verts, faces_,
-                                    diameter)
-                for slot, ve in zip(vsd_slots, ves):
-                    # full per-tau error vector (the reference's offline
-                    # eval stores errors per tau too)
-                    err["vsd"][slot] = np.asarray(ve, np.float64)
-                    rec["vsd"][slot] = float(
-                        np.mean(ve < BOP19_CORRECT_TH[0]))
+                self._flush_vsd(obj_name, diameter, vsd_poses,
+                                vsd_depths, vsd_ks, vsd_slots, err, rec)
 
             recalls[obj_name] = rec
             errors[obj_name] = err
@@ -345,6 +344,25 @@ class Evaluator:
             return d / float(gt.get("depth_factor", 1000.0))
         return None
 
+    _VSD_FLUSH = 128    # frames per vsd_err_batch call (~150 MB depths)
+
+    def _flush_vsd(self, obj_name, diameter, vsd_poses, vsd_depths,
+                   vsd_ks, vsd_slots, err, rec):
+        """Render+score the accumulated VSD frames, write their slots,
+        and clear the accumulators (lists are mutated in place)."""
+        from gdm_tpu.eval.vsd import BOP19_CORRECT_TH, vsd_err_batch
+
+        verts, faces_ = self.vsd_meshes[obj_name]
+        ves = vsd_err_batch(vsd_poses, vsd_depths, np.stack(vsd_ks),
+                            verts, faces_, diameter)
+        for slot, ve in zip(vsd_slots, ves):
+            # full per-tau error vector (the reference's offline eval
+            # stores errors per tau too)
+            err["vsd"][slot] = np.asarray(ve, np.float64)
+            rec["vsd"][slot] = float(np.mean(ve < BOP19_CORRECT_TH[0]))
+        for acc in (vsd_poses, vsd_depths, vsd_ks, vsd_slots):
+            acc.clear()
+
     @staticmethod
     def _format_table(recalls, errors, aucs, ars=None):
         from tabulate import tabulate
@@ -356,11 +374,15 @@ class Evaluator:
         if any("vsd" in recalls[o] for o in obj_names):
             metric_names.append("vsd")
         for m in metric_names:
-            vals = [100 * np.mean(recalls[o][m])
-                    if recalls[o].get(m) else 0.0
-                    for o in obj_names]
-            rows.append([m] + [f"{v:.2f}" for v in vals]
-                        + [f"{np.mean(vals):.2f}" if vals else "0.00"])
+            # same convention as the AR rows: objects that were never
+            # evaluated on this metric (e.g. no VSD mesh) print '-' and
+            # stay out of the average instead of counting as 0.0
+            vals = [100 * np.mean(recalls[o][m]) for o in obj_names
+                    if recalls[o].get(m)]
+            cells = [f"{100 * np.mean(recalls[o][m]):.2f}"
+                     if recalls[o].get(m) else "-" for o in obj_names]
+            rows.append([m] + cells
+                        + [f"{np.mean(vals):.2f}" if vals else "-"])
         for e in ("re", "te"):
             # mean over predicted frames only (missing-frame sentinels
             # are inf; their failure is already counted in the recalls)

@@ -51,7 +51,8 @@ _CAND_CHUNK = 512
 # size, so the required 3-D edge bound depends on how close the object can
 # get; z is bucketed to powers of two so one subdivision serves all frames
 # in a range of distances
-_MESH_CACHE: dict = {}
+_MESH_CACHE: dict = {}      # insertion-ordered, LRU-bounded (see below)
+_MESH_CACHE_MAX = 16
 
 
 def _ray_angle_factor(K: np.ndarray, im_hw, margin: float) -> float:
@@ -178,6 +179,14 @@ def _prepared_mesh(verts: np.ndarray, faces: np.ndarray, K: np.ndarray,
         # verts device-resident: re-used for every frame of the object;
         # re-uploading ~MBs per call through the tunnel is waste
         _MESH_CACHE[key] = (v, f.astype(np.int32), jnp.asarray(v), orient)
+        # LRU-bound the cache: entries pin pow2-padded subdivided verts
+        # in host RAM AND HBM (tens of MB each at near z buckets), and a
+        # multi-object score over several z buckets would otherwise
+        # accumulate them for the life of the process
+        while len(_MESH_CACHE) > _MESH_CACHE_MAX:
+            _MESH_CACHE.pop(next(iter(_MESH_CACHE)))
+    else:
+        _MESH_CACHE[key] = _MESH_CACHE.pop(key)     # refresh LRU order
     return _MESH_CACHE[key]
 
 
@@ -239,8 +248,14 @@ def _vsd_one(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
              window=(256, 256), tile=16, n_taus=10, cost_type="step",
              normalized_by_diameter=True, renderer="scatter"):
     h, w = window
-    v_est = verts @ R_est.T + t_est[None, :]
-    v_gt = verts @ R_gt.T + t_gt[None, :]
+    # exact f32 pose transform: the host-side cull/binning projects the
+    # same vertices in f32 and assumes it matches the device projection
+    # (a bf16 MXU lowering would shift vertices ~0.2-0.5 px, opening
+    # tile-seam holes in the gather renderer); [V,3]x[3,3] is tiny, so
+    # HIGHEST costs nothing
+    with jax.default_matmul_precision("float32"):
+        v_est = verts @ R_est.T + t_est[None, :]
+        v_gt = verts @ R_gt.T + t_gt[None, :]
     # one vmapped rasterization: XLA batches the two renders into a
     # single program instead of two dispatches.  Scatter form: `faces`
     # is [2,F,3] per-render culled/compacted face lists (zero rows =
@@ -420,8 +435,16 @@ def _prep_job(R_est, t_est, R_gt, t_gt, depth_test, K, verts, tile):
         win[sy0 - oy:sy1 - oy, sx0 - ox:sx1 - ox] = \
             depth_test[sy0:sy1, sx0:sx1]
 
-    z_min = float(min((verts @ R_est.T + t_est)[:, 2].min(),
-                      (verts @ R_gt.T + t_gt)[:, 2].min()))
+    # subdivision bound: only vertices in FRONT of the camera constrain
+    # the raster tile — faces at z <= eps are culled before
+    # rasterization, so a behind-camera estimate (the <5-correspondence
+    # failure-sentinel pose at t_z = -1000, eval/pose_fit.py) must not
+    # drive z_min to the worst-case bucket (it can blow past
+    # subdivide_max_edge's face cap and aborts the whole batch)
+    z_all = np.concatenate([(verts @ R_est.T + t_est)[:, 2],
+                            (verts @ R_gt.T + t_gt)[:, 2]])
+    z_pos = z_all[z_all > 1e-6]
+    z_min = float(z_pos.min()) if z_pos.size else 1e3
     return {
         "R_est": R_est, "t_est": t_est, "R_gt": R_gt, "t_gt": t_gt,
         "origin": np.array([ox, oy], np.float32), "win": win,

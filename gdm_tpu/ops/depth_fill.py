@@ -77,14 +77,26 @@ def _median5(img: jax.Array) -> jax.Array:
 
 
 def _bilateral5(img: jax.Array, sigma_color: float, sigma_space: float) -> jax.Array:
-    """5x5 bilateral filter (cv2.bilateralFilter(d=5) equivalent)."""
+    """5x5 bilateral filter (cv2.bilateralFilter(d=5) equivalent).
+
+    Border is reflect-101 like cv2's BORDER_DEFAULT: a constant-0 border
+    pulls the denominator up with near-zero-value taps and biased the
+    2-px border ring by up to ~10% on flat depth."""
+    h, wid = img.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, wid), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, wid), 1)
+
+    def _reflect101(p, n):
+        p = jnp.abs(p)
+        return jnp.where(p > n - 1, 2 * (n - 1) - p, p)
+
     num = jnp.zeros_like(img)
     den = jnp.zeros_like(img)
     inv2sc = 1.0 / (2.0 * sigma_color * sigma_color)
     inv2ss = 1.0 / (2.0 * sigma_space * sigma_space)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            nb = _shift2d(img, dy, dx, 0.0)
+            nb = img[_reflect101(row + dy, h), _reflect101(col + dx, wid)]
             w_space = np.exp(-(dy * dy + dx * dx) * inv2ss)
             w = w_space * jnp.exp(-jnp.square(nb - img) * inv2sc)
             num = num + w * nb

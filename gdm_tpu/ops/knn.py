@@ -163,8 +163,13 @@ def topk_block(sqd: jax.Array, k: int, approx: bool = False,
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def knn_with_dist(support: jax.Array, query: jax.Array, k: int,
                   chunk: int = 512):
-    """Like :func:`knn` but also returns euclidean distances [m, k]."""
+    """Like :func:`knn` but also returns euclidean distances [m, k].
+
+    Shares knn's k > n_support contract: the last neighbour (and its
+    distance) is repeated instead of crashing in ``top_k``."""
     m = query.shape[0]
+    n = support.shape[0]
+    k_eff = min(k, n)
     chunk = min(chunk, m)
     pad = (-m) % chunk
     q = jnp.pad(query, ((0, pad), (0, 0)))
@@ -172,8 +177,15 @@ def knn_with_dist(support: jax.Array, query: jax.Array, k: int,
 
     def one_chunk(qc):
         d = pairwise_sqdist(qc, support)
-        neg, idx = jax.lax.top_k(-d, k)
+        neg, idx = jax.lax.top_k(-d, k_eff)
         return idx.astype(jnp.int32), jnp.sqrt(-neg)
 
     idx, dist = jax.lax.map(one_chunk, q)
-    return idx.reshape(-1, k)[:m], dist.reshape(-1, k)[:m]
+    idx = idx.reshape(-1, k_eff)[:m]
+    dist = dist.reshape(-1, k_eff)[:m]
+    if k_eff < k:
+        idx = jnp.concatenate(
+            [idx, jnp.tile(idx[:, -1:], (1, k - k_eff))], axis=1)
+        dist = jnp.concatenate(
+            [dist, jnp.tile(dist[:, -1:], (1, k - k_eff))], axis=1)
+    return idx, dist

@@ -162,3 +162,82 @@ class TestAliasing:
         assert ev.sym_rots is sym_rots
         assert ev.sym_transforms is sym_tfs
         assert ev.vsd_meshes is vsd
+
+
+class TestWholeObjectMiss:
+    def test_object_with_zero_predictions_counts_as_all_miss(self):
+        """An object present in gts but absent from the prediction dict
+        must tank its rows (all-miss), not silently leave the averages
+        computed over the surviving objects."""
+        ev = Evaluator("lmo", ["ape", "can"],
+                       {"ape": DIAM, "can": DIAM},
+                       {"ape": PTS, "can": PTS})
+        gts = {}
+        for obj in ("ape", "can"):
+            gts[obj] = {f"{1:06d}/{i:06d}": {"R": np.eye(3),
+                                             "t": np.array([0, 0, 1.0]),
+                                             "K": K}
+                        for i in range(3)}
+        for fn in gts["ape"]:          # only ape gets predictions
+            ev.add_prediction("ape", fn, np.eye(3), [0, 0, 1.0])
+        res = ev.evaluate(gts)
+        assert "can" in res["recalls"], "failed object dropped from output"
+        assert np.mean(res["recalls"]["can"]["ad_10"]) == 0.0
+        assert res["auc"]["can"] == pytest.approx(0.0)
+        assert np.mean(res["recalls"]["ape"]["ad_10"]) == 1.0
+        # the table's Avg column averages BOTH objects (50, not 100)
+        assert "can" in res["table"]
+
+
+class TestTableMetricConventions:
+    def test_unevaluated_metric_prints_dash_not_zero(self):
+        """Objects without a metric (e.g. no VSD mesh) print '-' and stay
+        out of that row's average — same convention as the AR rows."""
+        recalls = {
+            "ape": {m: [1.0] for m in
+                    ("ad_2", "ad_5", "ad_10")} | {"vsd": [1.0]},
+            "can": {m: [1.0] for m in ("ad_2", "ad_5", "ad_10")},
+        }
+        errors = {o: {"re": [0.1], "te": [0.01]} for o in recalls}
+        table = Evaluator._format_table(recalls, errors,
+                                        {"ape": 100.0, "can": 100.0})
+        vsd_row = next(l for l in table.splitlines()
+                       if l.startswith("vsd"))
+        cells = vsd_row.split()
+        assert cells[1:] == ["100.00", "-", "100.00"], vsd_row
+
+
+class TestVsdFlushChunking:
+    def test_chunked_flush_matches_single_flush(self, monkeypatch):
+        """_VSD_FLUSH bounds depth-image memory; per-frame results must
+        be identical whichever chunking the flush happens to use."""
+        from test_vsd import K as VK
+        from test_vsd import render_full, square_mesh
+
+        verts, faces = square_mesh(half=0.1, z=0.0)
+        R = np.eye(3)
+        diam = float(0.2 * np.sqrt(2))
+
+        def run(flush):
+            monkeypatch.setattr(Evaluator, "_VSD_FLUSH", flush)
+            ev = Evaluator("lmo", ["ape"], {"ape": diam}, {"ape": PTS},
+                           vsd_meshes={"ape": (verts, faces)})
+            gts = {"ape": {}}
+            for i in range(3):
+                t = np.array([0, 0, 1.5 + 0.25 * i])
+                cam = verts @ R.T + t
+                depth = np.asarray(render_full(cam, faces, VK,
+                                               max_edge=0.02))
+                gts["ape"][f"{1:06d}/{i:06d}"] = {
+                    "R": R, "t": t, "K": VK, "depth": depth}
+                # slightly offset prediction -> nonzero, frame-specific err
+                ev.add_prediction("ape", f"{1:06d}/{i:06d}", R,
+                                  t + [0.002 * (i + 1), 0, 0])
+            return ev.evaluate(gts)["errors"]["ape"]["vsd"]
+
+        one = run(flush=128)        # single flush after the loop
+        many = run(flush=1)         # flush every frame
+        assert len(one) == len(many) == 3
+        for a, b in zip(one, many):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)

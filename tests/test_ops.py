@@ -40,6 +40,21 @@ class TestKNN:
         d_ref = np.linalg.norm(support[ref] - query[:, None], axis=-1)
         np.testing.assert_allclose(d_ours, d_ref, rtol=1e-4, atol=1e-5)
 
+    def test_with_dist_pads_k_beyond_support(self):
+        """knn_with_dist shares knn's k > n_support contract (repeat the
+        last neighbour) instead of crashing in top_k — callers like
+        three_nn_interpolate can see 1-2 point support sets."""
+        from gdm_tpu.ops.knn import knn_with_dist
+
+        support = RNG.randn(2, 3).astype(np.float32)
+        query = RNG.randn(7, 3).astype(np.float32)
+        idx, dist = knn_with_dist(support, query, 3)
+        assert idx.shape == (7, 3) and dist.shape == (7, 3)
+        np.testing.assert_array_equal(np.asarray(idx)[:, 2],
+                                      np.asarray(idx)[:, 1])
+        np.testing.assert_allclose(np.asarray(dist)[:, 2],
+                                   np.asarray(dist)[:, 1])
+
 
 class TestBackproject:
     def test_roundtrip_projection(self):
@@ -112,6 +127,22 @@ class TestDepthFill:
         depth[10:14, 10:14] = 0.0
         filled = np.asarray(ops.fill_in_fast(depth, max_depth=10.0))
         assert np.all(filled[11:13, 11:13] > 1.0)
+
+    def test_bilateral_border_is_unbiased(self):
+        """cv2.bilateralFilter uses reflect-101 borders: on flat depth
+        every tap equals the centre so the output is EXACT everywhere,
+        including corners — a constant-0 border biased the 2-px ring by
+        ~10% (weighting near-zero out-of-image taps into the mean)."""
+        from gdm_tpu.ops.depth_fill import _bilateral5
+
+        flat = np.full((32, 32), 2.0, np.float32)
+        out = np.asarray(_bilateral5(jnp.asarray(flat), 0.5, 2.0))
+        np.testing.assert_allclose(out, 2.0, atol=1e-5)
+        # dense flat depth through the full multiscale fill stays flat
+        # at the corners too
+        filled = np.asarray(ops.fill_in_multiscale(flat, max_depth=3.0))
+        np.testing.assert_allclose(filled[0, 0], 2.0, atol=1e-3)
+        np.testing.assert_allclose(filled[-1, -1], 2.0, atol=1e-3)
 
 
 class TestKabsch:

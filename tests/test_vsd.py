@@ -553,3 +553,40 @@ class TestBackfaceCull:
             single = vsd_err(p[0], p[1], p[2], p[3], d, K, verts, faces,
                              diameter)
             np.testing.assert_allclose(batch[i], single, atol=1e-7)
+
+
+class TestSentinelPose:
+    """The <5-correspondence failure-sentinel pose (pose_fit: R=I,
+    t=(0,0,-1000)) puts every vertex behind the camera; it must not
+    drive the subdivision z-bucket to the 0.125 m worst case (which can
+    blow past the face cap and abort the whole batch)."""
+
+    def setup_method(self, _):
+        self.verts, self.faces = square_mesh(half=0.1, z=0.0)
+        self.R = np.eye(3, dtype=np.float32)
+        self.t = np.array([0, 0, 2.0], np.float32)
+        cam = self.verts @ self.R.T + self.t
+        self.depth_test = _gt_depth(cam, self.faces)
+        self.diameter = float(0.2 * np.sqrt(2))
+
+    def test_behind_camera_estimate_uses_gt_z_bucket(self):
+        from gdm_tpu.eval.vsd import _prep_job, _z_bucket
+
+        t_sent = np.array([0, 0, -1000.0], np.float32)
+        job = _prep_job(self.R, t_sent, self.R, self.t,
+                        self.depth_test, K, self.verts, tile=32)
+        # bucket comes from the GT pose's z (~1.9+), not the 0.125 floor
+        assert job["zb"] == _z_bucket(float(
+            (self.verts @ self.R.T + self.t)[:, 2].min()))
+        assert job["zb"] > 1.0
+
+    def test_batch_with_sentinel_frame_completes(self):
+        from gdm_tpu.eval.vsd import vsd_err_batch
+
+        t_sent = np.array([0, 0, -1000.0], np.float32)
+        poses = [(self.R, self.t, self.R, self.t),
+                 (self.R, t_sent, self.R, self.t)]
+        errs = vsd_err_batch(poses, [self.depth_test] * 2, K,
+                             self.verts, self.faces, self.diameter)
+        assert np.all(np.asarray(errs[0]) < 0.02)       # perfect frame
+        assert np.all(np.asarray(errs[1]) > 0.95)       # sentinel = miss
