@@ -75,7 +75,14 @@ def _build_object_setup(cfg, refd, cls_id, data_root):
             sym = symmetry_transform(info[str(cls_id)])
         except FileNotFoundError:
             sym = None
-    graph = build_mesh_graph(mesh_fps, cfg.data.model_pt_num,
+    # build_mesh_graph consumes the reference npy LAYOUT (xyz in mm,
+    # SplineCNN.py:180-193) while load_or_build_fps_mesh returns metres
+    # for the dataset/pose paths — feeding metres in here divided by
+    # 1000 twice, shrinking graph.xyz/node_x 1000x (degenerate circle-
+    # loss positives, biased fitted translations) on every real-data run
+    fps_mm = np.concatenate(
+        [mesh_fps[:, :3] * 1000.0, mesh_fps[:, 3:]], axis=1)
+    graph = build_mesh_graph(fps_mm, cfg.data.model_pt_num,
                              sym_transform=sym)
     return obj_name, diameter_m, mesh_fps, graph, MeshArrays.from_graph(
         graph)

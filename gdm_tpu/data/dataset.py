@@ -86,6 +86,10 @@ class PoseDataset:
         self.n_sample = d.num_sample_points
         self.im_hw = tuple(d.img_hw)
         self.rng = rng if rng is not None else np.random.RandomState(0)
+        # base for per-sample rng derivation (see __getitem__): drawn
+        # from the caller's rng so different processes/seeds diverge
+        self._seed_base = int(self.rng.randint(2 ** 31))
+        self.epoch = 0
         root = data_root or d.data_root
 
         if mesh_fps is None:
@@ -151,20 +155,35 @@ class PoseDataset:
     def __len__(self):
         return len(self.annos)
 
-    def _pick_record(self, idx: int) -> bop.Record:
+    def set_epoch(self, epoch: int):
+        """Mix the epoch into per-sample rng derivation (the loader
+        calls this from its own set_epoch)."""
+        self.epoch = epoch
+
+    def _pick_record(self, idx: int, rng=None) -> bop.Record:
+        rng = self.rng if rng is None else rng
         if self.mode != "train" or self.mix_real is None \
                 or not self.real_annos or not self.pbr_annos:
             return self.annos[idx]
-        if self.rng.rand() < self.mix_real:       # ycbv_pbr.py:682-690
-            return self.real_annos[self.rng.randint(len(self.real_annos))]
-        return self.pbr_annos[self.rng.randint(len(self.pbr_annos))]
+        if rng.rand() < self.mix_real:            # ycbv_pbr.py:682-690
+            return self.real_annos[rng.randint(len(self.real_annos))]
+        return self.pbr_annos[rng.randint(len(self.pbr_annos))]
 
     def __getitem__(self, idx: int) -> dict:
         if self.mode == "train":
-            data = self.get_item(self._pick_record(idx))
+            # per-(seed, epoch, index) rng: the train stream is
+            # reproducible regardless of loader worker mode, count, or
+            # thread scheduling (a single shared RandomState raced under
+            # the thread pool — irreproducible draws, occasional
+            # duplicated augmentations within a batch)
+            rng = np.random.RandomState(
+                (self._seed_base + 7919 * idx
+                 + 104729 * self.epoch) % (2 ** 31))
+            data = self.get_item(self._pick_record(idx, rng), rng=rng)
             while data is None:
                 data = self.get_item(
-                    self._pick_record(self.rng.randint(len(self))))
+                    self._pick_record(rng.randint(len(self)), rng),
+                    rng=rng)
             return data
         # test mode: per-index rng so point sampling is deterministic
         # regardless of loader thread scheduling — two eval runs of the

@@ -88,6 +88,11 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            # per-sample rng derivation mixes the epoch in (PoseDataset);
+            # process pools ship the dataset at __iter__ time, so the
+            # epoch set here reaches the workers
+            self.dataset.set_epoch(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -120,6 +125,19 @@ class DataLoader:
                 return ThreadPoolExecutor(self.num_workers)
             get_fn = self.dataset.__getitem__
 
+        def put(item) -> bool:
+            """stop-aware put: a consumer that abandons iteration (error
+            or early break) sets `stop` with the queue full — a plain
+            blocking put would park this thread forever and leak the
+            worker pool (OS processes in 'process' mode)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with make_pool() as pool:
                 for b in range(n_batches):
@@ -129,11 +147,12 @@ class DataLoader:
                                  (b + 1) * self.batch_size]
                     try:
                         samples = list(pool.map(get_fn, chunk))
-                        out_q.put(collate(samples))
+                        if not put(collate(samples)):
+                            return
                     except Exception as e:          # surface in consumer
-                        out_q.put(e)
+                        put(e)
                         return
-            out_q.put(None)
+            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

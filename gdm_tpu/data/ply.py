@@ -207,6 +207,51 @@ def load_or_build_fps_mesh(data_root: str, obj_id: int,
         f"{data_root}/models_eval|models")
 
 
+def _estimate_normals(pts: np.ndarray, faces=None) -> np.ndarray:
+    """Unit surface normals for a vertex cloud without stored normals.
+
+    With faces: area-weighted average of incident face normals (exact
+    for meshes).  Without: local PCA plane fit over the 16-NN
+    neighbourhood, oriented away from the centroid.  Either way the
+    result is unit length — the 9-d fps contract carries true normals,
+    not the centred/scaled positions a normalize_pts fallback produced
+    (wrong direction for any non-star-shaped or off-centre mesh).
+    """
+    pts = np.asarray(pts, np.float64)
+    nrm = None
+    if faces is not None and len(faces):
+        # face averaging is only sound when the winding is consistent
+        # (hull/fan soups have random per-face orientation) — reuse the
+        # VSD renderer's directed-edge check; lazy import, no cycle at
+        # module load (vsd imports data.ply eagerly, not vice versa)
+        from gdm_tpu.eval.vsd import _winding_orientation
+
+        orient = _winding_orientation(pts, faces)
+        if orient is not None:
+            f = np.asarray(faces, np.int64)
+            fn = orient * np.cross(pts[f[:, 1]] - pts[f[:, 0]],
+                                   pts[f[:, 2]] - pts[f[:, 0]])
+            nrm = np.zeros_like(pts)                 # |fn| = 2*area
+            for c in range(3):
+                np.add.at(nrm, f[:, c], fn)
+    if nrm is None:
+        from gdm_tpu import native
+
+        k = min(16, len(pts))
+        neigh = native.knn(pts.astype(np.float32),
+                           pts.astype(np.float32), k)
+        nb = pts[neigh]                              # [n, k, 3]
+        centred = nb - nb.mean(axis=1, keepdims=True)
+        cov = np.einsum("nki,nkj->nij", centred, centred)
+        _, vecs = np.linalg.eigh(cov)                # ascending eigvals
+        nrm = vecs[:, :, 0]                          # smallest = normal
+        out = pts - pts.mean(axis=0)                 # orient outward
+        flip = np.einsum("ni,ni->n", nrm, out) < 0
+        nrm[flip] *= -1
+    n = np.linalg.norm(nrm, axis=1, keepdims=True)
+    return (nrm / np.maximum(n, 1e-12)).astype(np.float32)
+
+
 def mesh_fps_from_ply(ply_path: str, n_points: int,
                       seed: int = 0) -> np.ndarray:
     """Build the [n, 9] fps-style array straight from a BOP model PLY when
@@ -221,7 +266,7 @@ def mesh_fps_from_ply(ply_path: str, n_points: int,
     if colors is None:
         colors = np.full_like(pts, 127.0)
     if normals is None:
-        normals = normalize_pts(pts)
+        normals = _estimate_normals(pts, d.get("faces"))
     n = len(pts)
     if n <= n_points:
         idx = np.pad(np.arange(n), (0, n_points - n), "wrap")

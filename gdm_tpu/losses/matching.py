@@ -114,7 +114,6 @@ def pointwise_matching_loss(
     sym_idx: jax.Array | None = None,
     m: float = 0.2,
     gamma: float = 16.0,
-    feat_dim: int = 128,
     pad_onehot: bool = False,
     rt: jax.Array | None = None,
     depth_scaled_r_mm: float | None = None,

@@ -109,7 +109,7 @@ class GeoMatch(nn.Module):
                 inputs["labels"], inputs["match_idx"],
                 inputs["visible_flag"], positive_r,
                 sym_idx=mesh.sym_idx, m=self.circle_m,
-                gamma=self.circle_gamma, feat_dim=self.feat_dim)
+                gamma=self.circle_gamma)
             seg_loss = focal_loss(seg, inputs["labels"], gamma=2.0)
             end_points["loss"] = self.awl(seg_loss, match_loss)
             end_points["seg_loss"] = seg_loss

@@ -71,7 +71,7 @@ class GeoMatchDGCNN(nn.Module):
                 inputs["origin_labels"], inputs["match_idx"],
                 inputs["visible_flag"], positive_r=0.0,
                 m=self.circle_m, gamma=self.circle_gamma,
-                feat_dim=self.feat_dim, pad_onehot=True,
+                pad_onehot=True,
                 rt=inputs["RT"], depth_scaled_r_mm=self.positive_r_mm)
             seg_loss = focal_loss(seg, inputs["labels"], gamma=2.0)
             end_points["loss"] = self.awl(seg_loss, match_loss)

@@ -326,6 +326,28 @@ def bop_root_2obj(tmp_path_factory):
     return root
 
 
+def test_build_object_setup_units(mini_preset, bop_root):
+    """The CLI mesh-graph path must keep metre scale: build_mesh_graph
+    consumes the npy layout (mm) while load_or_build_fps_mesh returns
+    metres — mixing them divided xyz by 1000 twice, silently shrinking
+    the mesh 1000x on every real-data run (degenerate loss positives,
+    biased fitted translations)."""
+    from gdm_tpu.cli import _build_object_setup
+    from gdm_tpu.refdata import get as get_refdata
+
+    obj, diam, mesh_fps, graph, mesh_arr = _build_object_setup(
+        mini_preset, get_refdata("lmo"), 1, bop_root)
+    ext = float(np.abs(mesh_fps[:, :3]).max())
+    assert 0.01 < ext < 1.0                   # metre-scale object
+    np.testing.assert_allclose(np.asarray(graph.xyz), mesh_fps[:, :3],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(mesh_arr.xyz),
+                               mesh_fps[:, :3], rtol=1e-5, atol=1e-7)
+    # node features carry the same metre xyz in columns 3:6
+    np.testing.assert_allclose(np.asarray(graph.node_x)[:, 3:6],
+                               mesh_fps[:, :3], rtol=1e-5, atol=1e-7)
+
+
 def test_filter_targets_unit(tmp_path):
     """The shared BOP-targets helpers eval/infer/score all route through."""
     import json

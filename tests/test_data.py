@@ -479,3 +479,99 @@ class TestPyramidRestructure:
             for k in want:
                 np.testing.assert_array_equal(
                     np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+
+
+class TestLoaderRobustness:
+    def test_abandoned_iteration_releases_producer(self, bop_root):
+        """Breaking out of iteration mid-epoch must unblock the producer
+        thread (it used to park forever in a blocking put on the full
+        prefetch queue, leaking the worker pool)."""
+        import threading
+        import time
+
+        ds = PoseDataset(_mini_config(), 1, "test", diameter_m=0.1,
+                         data_root=bop_root)
+        dl = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False,
+                        num_workers=2, prefetch=1)
+        before = set(threading.enumerate())
+        it = iter(dl)
+        next(it)
+        it.close()                       # abandon -> finally sets stop
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            leaked = [t for t in set(threading.enumerate()) - before
+                      if t.is_alive() and "ThreadPoolExecutor" not in
+                      (t.name or "")]
+            if not leaked:
+                break
+            time.sleep(0.2)
+        assert not leaked, f"producer still alive: {leaked}"
+
+    def test_train_stream_reproducible_across_workers(self, bop_root):
+        """Per-(seed, epoch, index) rng: the train stream is identical
+        for 1 vs 4 thread workers (a shared RandomState raced), and
+        changes when the epoch does."""
+        def batches(workers, epoch):
+            ds = PoseDataset(_mini_config(), 1, "train", diameter_m=0.1,
+                             data_root=bop_root,
+                             rng=np.random.RandomState(5))
+            dl = DataLoader(ds, batch_size=2, shuffle=True,
+                            drop_last=True, num_workers=workers, seed=3)
+            dl.set_epoch(epoch)
+            return [b for b, _ in dl]
+
+        a = batches(1, epoch=0)
+        b = batches(4, epoch=0)
+        assert len(a) == len(b) > 0
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+        c = batches(1, epoch=1)
+        assert any(not np.array_equal(a[0][k], c[0][k]) for k in a[0])
+
+
+class TestNormalEstimate:
+    def test_sphere_normals_radial(self, tmp_path):
+        """PLYs without stored normals get true unit surface normals
+        (PCA / face-average), not normalize_pts positions."""
+        from scipy.spatial import ConvexHull
+
+        from gdm_tpu.data.ply import _estimate_normals
+
+        rng = np.random.RandomState(0)
+        v = rng.randn(400, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v = (v * 30.0).astype(np.float32)            # sphere r=30 mm
+        centre_offset = np.array([5.0, -3.0, 8.0], np.float32)
+        pts = v + centre_offset                      # off-centre
+        radial = v / 30.0
+
+        hull = ConvexHull(pts)
+        raw = hull.simplices.astype(np.int64)        # random winding
+        tri = pts[raw]
+        fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        flip = np.einsum("ij,ij->i", fn, hull.equations[:, :3]) < 0
+        wound = raw.copy()
+        wound[flip] = wound[flip][:, [0, 2, 1]]      # consistent outward
+
+        # no faces -> PCA; raw hull (inconsistent winding) -> PCA
+        # fallback; consistently wound -> exact face averaging
+        for faces in (None, raw, wound):
+            nrm = _estimate_normals(pts, faces)
+            np.testing.assert_allclose(
+                np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+            cos = np.einsum("ij,ij->i", nrm, radial)
+            assert np.mean(cos > 0.9) > 0.95, (
+                f"normals not radial (faces "
+                f"{'none' if faces is None else len(faces)})")
+
+    def test_fps_fallback_normals_unit(self, tmp_path):
+        rng = np.random.RandomState(1)
+        v = rng.randn(300, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = (v * 25.0).astype(np.float32)
+        p = str(tmp_path / "s.ply")
+        write_ply(p, pts)                            # no normals stored
+        fps = mesh_fps_from_ply(p, 64)
+        lens = np.linalg.norm(fps[:, 6:9], axis=1)
+        np.testing.assert_allclose(lens, 1.0, atol=1e-5)

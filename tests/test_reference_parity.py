@@ -176,7 +176,7 @@ class TestMatchingLossParity:
             jnp.asarray(rgbd), jnp.asarray(mesh_feats),
             jnp.asarray(mesh_xyz), jnp.asarray(labels),
             jnp.asarray(match_idx), jnp.asarray(vis),
-            positive_r=positive_r, feat_dim=rgbd.shape[2]))
+            positive_r=positive_r))
 
     def test_value_matches_reference(self, ref_geomatch_cls):
         rng = np.random.RandomState(0)
