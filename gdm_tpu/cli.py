@@ -125,7 +125,7 @@ def _eval_object_metadata(cfg, refd, cls_id, data_root, want_vsd, log,
     the kps fallback live HERE so the online and offline scoring paths
     cannot diverge.
     """
-    from gdm_tpu.data.ply import load_fps_mesh, load_ply
+    from gdm_tpu.data.ply import find_kps_mesh, load_ply
     from gdm_tpu.refdata._base import (
         all_symmetry_rotations,
         all_symmetry_transforms,
@@ -145,9 +145,10 @@ def _eval_object_metadata(cfg, refd, cls_id, data_root, want_vsd, log,
                 log.warning("--vsd: %s has no faces — skipping VSD "
                             "for %s", eval_ply, obj_name)
     else:
-        # load_fps_mesh already converts xyz to metres
+        # find_kps_mesh already converts xyz to metres (and knows the
+        # per-dataset kps directory names, e.g. ycbv's bop_ycb_kps/)
         pts = (fallback_pts if fallback_pts is not None else
-               load_fps_mesh(osp.join(data_root, "kps"), cls_id,
+               find_kps_mesh(data_root, cls_id,
                              cfg.data.model_pt_num)[:, :3])
         if want_vsd:
             log.warning("--vsd: no faces for %s (missing %s) — "
@@ -480,7 +481,18 @@ def train(args):
                            max(epochs * len(dl) // sol.clr_div, 1))
             tx = make_optimizer(lr, sol.weight_decay, sol.skip_nonfinite)
 
-        batch0, _ = next(iter(dl))
+        if len(dl) == 0:
+            raise SystemExit(
+                f"{obj_name}: {len(ds)} samples on this process is "
+                f"smaller than the per-process batch "
+                f"{batch_size // jax.process_count()} (drop_last)")
+        # init shapes straight from the dataset — spinning a throwaway
+        # DataLoader (full worker pool, prefetch) per object just to
+        # discard one batch is pure startup waste in --cls-id all runs
+        from gdm_tpu.data.loader import collate
+
+        batch0, _ = collate([ds[i % len(ds)] for i in
+                             range(batch_size // jax.process_count())])
         fin0 = _device_batch(batch0, dev_mesh, cfg.data.fill_depth)
         sample_inputs = _train_inputs(fin0, args.knn_chunk, needs_pyramid,
                                       positive_r)
@@ -588,6 +600,9 @@ def train(args):
 
 def evaluate(args):
     import jax
+
+    if args.multihost:    # same contract as train()/infer()
+        jax.distributed.initialize()
 
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset

@@ -141,6 +141,25 @@ def get_config(name: str, opts: Sequence[str] = ()) -> Config:
     mutates its config modules at runtime, train_lm.py:395; here
     overrides are explicit and type-checked).
     """
+    def _parse_scalar(raw: str):
+        """Best-effort typing for overrides of None-valued (Optional)
+        fields: int, then float, then bool/None literals, else string
+        (storing '0.7' as a string into e.g. data.real_pbr_mix would
+        TypeError deep in the loader)."""
+        for cast in (int, float):
+            try:
+                return cast(raw)
+            except ValueError:
+                pass
+        low = raw.lower()
+        if low in ("true", "yes"):
+            return True
+        if low in ("false", "no"):
+            return False
+        if low in ("none", "null"):
+            return None
+        return raw
+
     cfg = _PRESETS[name]
     for opt in opts:
         path, _, raw = opt.partition("=")
@@ -152,8 +171,16 @@ def get_config(name: str, opts: Sequence[str] = ()) -> Config:
         sub = getattr(cfg, section)
         old = getattr(sub, field)  # raises AttributeError on typos
         if isinstance(old, bool):
-            val = raw.lower() in ("1", "true", "yes")
-        elif isinstance(old, (int, float)) and old is not None:
+            low = raw.lower()
+            if low in ("1", "true", "yes"):
+                val = True
+            elif low in ("0", "false", "no"):
+                val = False
+            else:       # reject typos loudly, like the int/float casts
+                raise ValueError(
+                    f"--opt {path}: {raw!r} is not a boolean "
+                    "(use true/false/1/0/yes/no)")
+        elif isinstance(old, (int, float)):
             val = type(old)(raw)
         elif isinstance(old, (tuple, list)):
             # cast each element with the existing element type so e.g.
@@ -161,6 +188,9 @@ def get_config(name: str, opts: Sequence[str] = ()) -> Config:
             el = type(old[0]) if len(old) else str
             val = type(old)(el(x) for x in raw.split(",")) if raw \
                 else type(old)()
+        elif old is None:
+            # Optional field: infer number/bool/None, else keep a string
+            val = _parse_scalar(raw)
         else:
             val = raw
         cfg = dataclasses.replace(

@@ -178,9 +178,31 @@ def load_fps_mesh(kps_dir: str, obj_id: int, n_points: int) -> np.ndarray:
     return np.concatenate([pts, rgb, nrm], axis=1)
 
 
+# kps subdirectory names by dataset convention: the LM trees use kps/
+# (config/lmo_cfg.py:127) while the reference's YCB-V loader reads
+# bop_ycb_kps/ (datasets/ycbv/ycbv_pbr.py:76)
+KPS_DIR_CANDIDATES = ("kps", "bop_ycb_kps")
+
+
+def find_kps_mesh(data_root: str, obj_id: int,
+                  n_points: int) -> np.ndarray:
+    """Load the precomputed fps keypoint mesh from any known kps
+    directory name under `data_root` -> [n_points, 9] (xyz m); raises
+    FileNotFoundError when none exists."""
+    for sub in KPS_DIR_CANDIDATES:
+        try:
+            return load_fps_mesh(osp.join(data_root, sub), obj_id,
+                                 n_points)
+        except FileNotFoundError:
+            continue
+    raise FileNotFoundError(
+        f"no {'|'.join(KPS_DIR_CANDIDATES)}/obj_{obj_id:06d}_fps.npy "
+        f"under {data_root}")
+
+
 def load_or_build_fps_mesh(data_root: str, obj_id: int,
                            n_points: int) -> np.ndarray:
-    """``load_fps_mesh`` with a raw-BOP fallback -> [n_points, 9] (xyz m).
+    """``find_kps_mesh`` with a raw-BOP fallback -> [n_points, 9] (xyz m).
 
     The reference REQUIRES precomputed ``kps/obj_XXXXXX_fps.npy`` files
     (datasets/lm/linemod_pbr.py:89-97, models/SplineCNN.py:180-193) and
@@ -191,7 +213,7 @@ def load_or_build_fps_mesh(data_root: str, obj_id: int,
     the box.
     """
     try:
-        return load_fps_mesh(osp.join(data_root, "kps"), obj_id, n_points)
+        return find_kps_mesh(data_root, obj_id, n_points)
     except FileNotFoundError:
         pass
     for sub in ("models_eval", "models"):

@@ -26,24 +26,39 @@ _lib = None
 _build_failed = False
 
 
+def _fresh() -> bool:
+    return osp.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= \
+        os.path.getmtime(_SRC)
+
+
 def _build() -> str | None:
-    if osp.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= \
-            os.path.getmtime(_SRC):
+    """Compile the library if stale.  Cross-process safe: an exclusive
+    flock serialises concurrent builders (N process-pool workers on
+    first use), and the compiler writes to a temp path that is
+    os.replace'd atomically so no process ever dlopens a half-written
+    .so.  The .so is a build artifact (gitignored) — it is compiled
+    with -march=native, so a committed binary would SIGILL on hosts
+    without this machine's ISA extensions."""
+    if _fresh():
         return _LIB_PATH
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-           "-std=c++17", _SRC, "-o", _LIB_PATH]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB_PATH
-    except (subprocess.SubprocessError, FileNotFoundError):
-        try:  # retry without -march=native / openmp (portable fallback)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", _LIB_PATH],
-                check=True, capture_output=True, timeout=120)
+    import fcntl
+
+    with open(_LIB_PATH + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        if _fresh():                 # another process built it meanwhile
             return _LIB_PATH
-        except (subprocess.SubprocessError, FileNotFoundError):
-            return None
+        tmp = f"{_LIB_PATH}.tmp{os.getpid()}"
+        for extra in (["-march=native", "-fopenmp"], []):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", *extra, "-shared", "-fPIC",
+                     "-std=c++17", _SRC, "-o", tmp],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _LIB_PATH)
+                return _LIB_PATH
+            except (subprocess.SubprocessError, FileNotFoundError):
+                continue
+        return None
 
 
 def _get_lib():
@@ -87,6 +102,12 @@ def knn(support: np.ndarray, query: np.ndarray, k: int,
     support = _as_f32(support)
     query = _as_f32(query)
     m, k = query.shape[0], int(k)
+    if len(support) == 0 or k <= 0:
+        # fail deterministically: the C path would early-return leaving
+        # the np.empty output uninitialised, the scipy path raises a
+        # different error deep in cKDTree
+        raise ValueError(
+            f"knn: empty support or k={k} (support {support.shape})")
     if lib is None:
         from scipy.spatial import cKDTree
 
@@ -137,13 +158,19 @@ def grid_subsample(pts: np.ndarray, dl: float,
     pts = _as_f32(pts)
     fdim = 0 if features is None else int(features.shape[1])
     if lib is None:
+        # mirrors the C kernel exactly: same collision-free packed key
+        # (21 bits/axis on min-offset indices) and the same
+        # first-occurrence voxel ORDER, so callers see identical output
+        # whether or not the toolchain is present
         mn = pts.min(0)
-        key = np.floor((pts - mn) / dl).astype(np.int64)
-        _, inv = np.unique(
-            key[:, 0] * 73856093 ^ key[:, 1] * 19349669
-            ^ key[:, 2] * 83492791,
-            return_inverse=True)
-        n_out = int(inv.max()) + 1
+        g = np.floor((pts - mn) / dl).astype(np.int64)
+        key = (g[:, 0] << 42) | (g[:, 1] << 21) | g[:, 2]
+        _, first, inv = np.unique(key, return_index=True,
+                                  return_inverse=True)
+        rank = np.empty(len(first), np.int64)
+        rank[np.argsort(first, kind="stable")] = np.arange(len(first))
+        inv = rank[inv]
+        n_out = len(first)
         counts = np.bincount(inv, minlength=n_out)[:, None]
         sub = np.zeros((n_out, 3), np.float64)
         np.add.at(sub, inv, pts)

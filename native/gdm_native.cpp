@@ -165,8 +165,12 @@ int32_t gdm_grid_subsample(const float* pts, int32_t n,
         std::floor((pts[i * 3 + 1] - mn[1]) / dl));
     int64_t iz = static_cast<int64_t>(
         std::floor((pts[i * 3 + 2] - mn[2]) / dl));
-    int64_t key = (ix * 73856093LL) ^ (iy * 19349669LL) ^
-                  (iz * 83492791LL);
+    // collision-FREE key: grid indices are non-negative (offset by the
+    // min corner) and bounded by extent/dl, so 21 bits per axis
+    // (2M voxels/axis) always suffice in practice — a Teschner-style
+    // XOR hash used as the identity would silently merge colliding
+    // voxels into one wrong barycenter
+    int64_t key = (ix << 42) | (iy << 21) | iz;
     Acc& a = vox[key];
     if (a.count == 0) {
       a.order = next_order++;

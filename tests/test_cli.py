@@ -33,6 +33,15 @@ class TestConfigOverrides:
             get_config("lmo", ["model.no_such_field=1"])
         with pytest.raises(ValueError):
             get_config("lmo", ["not_an_assignment"])
+        # bool typos are rejected loudly, not silently False
+        with pytest.raises(ValueError, match="not a boolean"):
+            get_config("lmo", ["data.fill_depth=Ture"])
+        assert get_config("lmo", ["data.fill_depth=no"]) \
+            .data.fill_depth is False
+        # overrides of None-valued (Optional) fields get typed values
+        c3 = get_config("lmo", ["data.real_pbr_mix=0.7"])
+        assert c3.data.real_pbr_mix == pytest.approx(0.7)
+        assert isinstance(c3.data.real_pbr_mix, float)
 import test_data  # reuse the mini BOP fixture builder
 from test_data import IM_H, IM_W, IN_SIZE, N_MESH, N_SAMPLE, bop_root  # noqa: F401
 

@@ -82,3 +82,48 @@ class TestBuild:
     def test_native_lib_builds_here(self):
         """The environment has g++ — the fast path must be live."""
         assert native.available()
+
+
+class TestRobustness:
+    def test_empty_support_raises(self):
+        """C path would return uninitialised np.empty indices; scipy
+        raises something else deep in cKDTree — both now fail with one
+        deterministic ValueError."""
+        with pytest.raises(ValueError, match="empty support"):
+            native.knn(np.zeros((0, 3), np.float32),
+                       np.zeros((4, 3), np.float32), 3)
+        with pytest.raises(ValueError, match="k=0"):
+            native.knn(np.zeros((5, 3), np.float32),
+                       np.zeros((4, 3), np.float32), 0)
+
+    def test_grid_subsample_fallback_matches_c(self, monkeypatch,
+                                               lib_available):
+        """The numpy fallback mirrors the C kernel exactly: same packed
+        collision-free voxel key and the same first-occurrence order."""
+        if not lib_available:
+            pytest.skip("no toolchain: nothing to compare against")
+        rng = np.random.RandomState(7)
+        pts = (rng.rand(4000, 3) * 2.0 - 1.0).astype(np.float32)
+        feats = rng.rand(4000, 5).astype(np.float32)
+        c_pts, c_f = native.grid_subsample(pts, 0.15, feats)
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_build_failed", True)
+        np_pts, np_f = native.grid_subsample(pts, 0.15, feats)
+        assert c_pts.shape == np_pts.shape
+        np.testing.assert_allclose(c_pts, np_pts, atol=1e-6)
+        np.testing.assert_allclose(c_f, np_f, atol=1e-6)
+
+    def test_grid_subsample_no_voxel_collisions(self):
+        """Distinct far-apart voxels must never merge (the old
+        XOR-of-primes hash used as an identity could collide)."""
+        # a 40x40x40 occupied grid, one point per voxel, fp-exact
+        # coordinates (integer centres, dl=1) so quantisation cannot
+        # merge neighbours — any shrink would be a key collision
+        g = np.stack(np.meshgrid(*([np.arange(40)] * 3),
+                                 indexing="ij"), -1).reshape(-1, 3)
+        pts = (g + 0.5).astype(np.float32)
+        sub = native.grid_subsample(pts, 1.0)
+        assert len(sub) == len(pts)          # every voxel survives
+        np.testing.assert_allclose(np.sort(sub.ravel()),
+                                   np.sort(pts.ravel()), atol=1e-5)
