@@ -88,16 +88,22 @@ def _build_object_setup(cfg, refd, cls_id, data_root):
         graph)
 
 
-def _make_model(cfg, diameter_m, mesh_fps, mesh_arr):
+def _make_model(cfg, diameter_m, mesh_fps, mesh_arr, exact_knn=False):
     """(model, mesh_input, mesh_xyz, needs_pyramid) for the configured
-    backbone — 'randla_spline' (flagship) or 'dgcnn' (config 5)."""
+    backbone — 'randla_spline' (flagship) or 'dgcnn' (config 5).
+
+    `exact_knn` (the eval/infer/export --exact-knn flag) forces exact
+    edge-conv graphs on the dgcnn backbone, like it forces the exact
+    KNN pyramid on the flagship."""
     import jax.numpy as jnp
 
     if cfg.model.backbone == "dgcnn":
         from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
         from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
 
-        model = GeoMatchDGCNN(feat_dim=cfg.model.feat_dim)
+        model = GeoMatchDGCNN(
+            feat_dim=cfg.model.feat_dim,
+            approx_knn=not (exact_knn or cfg.model.dgcnn_exact_knn))
         pts = mesh_fps[:, :3]                    # metres (load_fps_mesh)
         rgb_n = (mesh_fps[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         mesh_x = jnp.asarray(np.concatenate(
@@ -684,7 +690,8 @@ def evaluate(args):
                 sym_transforms=sym_tfs, im_w=cfg.data.img_hw[1])
 
         model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
-            cfg, diameters[obj_name], mesh_fps, mesh_arr)
+            cfg, diameters[obj_name], mesh_fps, mesh_arr,
+            exact_knn=args.exact_knn)
         if model is None:
             model = model_i        # positive_r differences are train-only
         if batch_size % jax.process_count():
@@ -861,7 +868,8 @@ def infer(args):
                         " (after --targets filter)" if targets else "")
             continue
         model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
-            cfg, diameter_m, mesh_fps, mesh_arr)
+            cfg, diameter_m, mesh_fps, mesh_arr,
+            exact_knn=args.exact_knn)
         if model is None:
             model = model_i
         dl = DataLoader(ds, host_bs, shuffle=False, drop_last=False,
@@ -1103,7 +1111,7 @@ def export_serving(args):
     obj_name, diameter, mesh_fps, _, mesh_arr = _build_object_setup(
         cfg, refd, cls_id, args.data_root)
     model, mesh_input, mesh_xyz, needs_pyramid = _make_model(
-        cfg, diameter, mesh_fps, mesh_arr)
+        cfg, diameter, mesh_fps, mesh_arr, exact_knn=args.exact_knn)
     icp_reject = (args.icp_reject if args.icp_reject is not None
                   else cfg.data.nn_dist_th * diameter)
 

@@ -22,8 +22,9 @@ from gdm_tpu.models.layers import BatchNorm, leaky_relu02
 from gdm_tpu.ops.knn import knn
 
 
-def graph_feature_b(x: jax.Array, k: int, pos: jax.Array | None = None):
-    """Batched edge features: [B,n,c] -> [B,n,k,2c] = [x_j - x_i, x_i].
+def graph_feature_b(x: jax.Array, k: int, pos: jax.Array | None = None,
+                    approx: bool = False):
+    """Batched edge features: [B,n,k,2c] = [x_j - x_i, x_i].
 
     `pos` selects the KNN coordinate space (dim9=True uses xyz only,
     dgcnn.py:36-38); defaults to x itself.
@@ -32,11 +33,18 @@ def graph_feature_b(x: jax.Array, k: int, pos: jax.Array | None = None):
     0 tops the negated-distance topk, dgcnn.py:21-27), so its k edges are
     [self, nn1..nn_{k-1}] — the self edge contributes (0, x_i).  Matched
     here for checkpoint parity.
+
+    `approx` switches the graph build to ``lax.approx_max_k`` — the
+    edge-conv graph is a neighbour-AGGREGATION consumer (max-pooled conv
+    features), the same category the RandLA pyramid runs approx for, so
+    the 0.85-recall partial reduction is fine.  Exact top_k is ~75 ms on
+    [8,4096,4096] vs ~5 ms approx (the whole exact-mode forward was
+    top_k-bound: 221 ms/batch, of which ~3x75 was the three graphs).
     """
     coords = x if pos is None else pos
 
     def one(c):
-        return knn(c, c, k)
+        return knn(c, c, k, chunk=1024, approx=approx, recall_target=0.85)
 
     idx = jax.vmap(one)(coords)                            # [B, n, k]
     from gdm_tpu.models.randla import gather_neighbours_b
@@ -63,23 +71,26 @@ class DgcnnTrunk(nn.Module):
     embed_dim: int = 1024
     feat_dim: int = 128
     dropout: float = 0.1
+    approx_knn: bool = False   # approx graph build (see graph_feature_b)
 
     @nn.compact
     def __call__(self, cloud, train: bool = False, momentum=0.1):
         # cloud: [B, n, 9] xyz | rgb | normal
         n = cloud.shape[1]
+        ax = self.approx_knn
 
-        e = graph_feature_b(cloud, self.k, pos=cloud[..., :3])  # [B,n,k,18]
+        e = graph_feature_b(cloud, self.k, pos=cloud[..., :3],
+                            approx=ax)                    # [B,n,k,18]
         e = _ConvBNLRelu(64, name="conv1")(e, train, momentum)
         e = _ConvBNLRelu(64, name="conv2")(e, train, momentum)
         x1 = jnp.max(e, axis=2)
 
-        e = graph_feature_b(x1, self.k)
+        e = graph_feature_b(x1, self.k, approx=ax)
         e = _ConvBNLRelu(64, name="conv3")(e, train, momentum)
         e = _ConvBNLRelu(64, name="conv4")(e, train, momentum)
         x2 = jnp.max(e, axis=2)
 
-        e = graph_feature_b(x2, self.k)
+        e = graph_feature_b(x2, self.k, approx=ax)
         e = _ConvBNLRelu(64, name="conv5")(e, train, momentum)
         x3 = jnp.max(e, axis=2)
 
@@ -103,12 +114,13 @@ class DgcnnPointEmb(nn.Module):
     embed_dim: int = 1024
     feat_dim: int = 128
     dropout: float = 0.1
+    approx_knn: bool = False
 
     @nn.compact
     def __call__(self, cld_rgb_nrm, train: bool = False, momentum=0.1):
         return DgcnnTrunk(self.k, self.embed_dim, self.feat_dim,
-                          self.dropout, name="trunk")(cld_rgb_nrm, train,
-                                                      momentum)
+                          self.dropout, self.approx_knn,
+                          name="trunk")(cld_rgb_nrm, train, momentum)
 
 
 class DgcnnMeshEmb(nn.Module):
@@ -123,10 +135,11 @@ class DgcnnMeshEmb(nn.Module):
     embed_dim: int = 1024
     feat_dim: int = 128
     dropout: float = 0.1
+    approx_knn: bool = False
 
     @nn.compact
     def __call__(self, mesh_x, train: bool = False, momentum=0.1):
         out = DgcnnTrunk(self.k, self.embed_dim, self.feat_dim,
-                         self.dropout, name="trunk")(mesh_x[None], train,
-                                                     momentum)
+                         self.dropout, self.approx_knn,
+                         name="trunk")(mesh_x[None], train, momentum)
         return out[0]

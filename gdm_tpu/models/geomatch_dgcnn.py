@@ -30,11 +30,18 @@ class GeoMatchDGCNN(nn.Module):
     positive_r_mm: float = 3.0
     circle_gamma: float = 16.0
     circle_m: float = 0.2
+    # approx edge-conv graphs (lax.approx_max_k, recall 0.85) — the same
+    # aggregation-vs-metric policy as the RandLA KNN pyramid.  False here
+    # (parity tests instantiate the bare module); the CLI pipeline
+    # defaults it ON via ModelConfig.dgcnn_exact_knn=False.
+    approx_knn: bool = False
 
     def setup(self):
         self.pcd_emb = DgcnnPointEmb(self.k_scene, feat_dim=self.feat_dim,
+                                     approx_knn=self.approx_knn,
                                      name="pcd_emb")
         self.model_emb = DgcnnMeshEmb(self.k_mesh, feat_dim=self.feat_dim,
+                                      approx_knn=self.approx_knn,
                                       name="model_emb")
         self.awl = AutomaticWeightedLoss(2, name="awl")
         self.feature_encoding_layer = MLPHead(

@@ -179,6 +179,19 @@ class TestDGCNN:
         out, _ = model.apply(params, x, mutable=["batch_stats"])
         assert out.shape == (2, 64, 16)
 
+    def test_point_emb_approx_knn(self):
+        # approx edge-conv graphs (the CLI pipeline default): same
+        # module tree / param shapes as exact, finite outputs, and the
+        # same checkpoint loads into either mode.
+        x = jnp.array(RNG.randn(2, 64, 9), jnp.float32)
+        exact = DgcnnPointEmb(k=8, embed_dim=64, feat_dim=16)
+        params = exact.init(jax.random.PRNGKey(0), x)
+        approx = DgcnnPointEmb(k=8, embed_dim=64, feat_dim=16,
+                               approx_knn=True)
+        out, _ = approx.apply(params, x, mutable=["batch_stats"])
+        assert out.shape == (2, 64, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_geomatch_dgcnn_train(self):
         n_mesh = 64
         mesh_x = jnp.array(RNG.randn(n_mesh, 9), jnp.float32)
