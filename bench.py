@@ -27,7 +27,8 @@ training throughput is driver-visible, not prose-only.  Set
 GDM_BENCH_TRAIN=0 to skip (two extra compiles).  `fps_bf16` reports the
 bfloat16-activation eval forward (the `--opt model.compute_dtype`
 option; ~4% faster, identical synthetic convergence) — GDM_BENCH_BF16=0
-skips it.
+skips it.  `dgcnn_fps` is the DGCNN backbone variant (config 5) at the
+same shapes — GDM_BENCH_DGCNN=0 skips it.
 
 Prints exactly one JSON line.
 """
@@ -282,6 +283,45 @@ def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
     return batch / dt
 
 
+def measure_dgcnn(data, mesh_fps, iters=15, warmup=3):
+    """DGCNN-variant (config 5) inference fps at the same production
+    shapes: approx edge-conv graphs (the pipeline default; exact top_k
+    was 11.8x slower — CLAUDE.md 2026-08-20), forward + pose fit via
+    eval/infer.run_inference (no KNN pyramid needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.infer import run_inference
+    from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
+    from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
+
+    pts_m = mesh_fps[:, :3] / 1000.0            # make_object returns mm
+    rgb_n = (mesh_fps[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    mesh_x = jnp.asarray(np.concatenate(
+        [pts_m, rgb_n, mesh_fps[:, 6:9]], axis=1).astype(np.float32))
+    mesh_xyz = jnp.asarray(pts_m.astype(np.float32))
+    fin = {k: jnp.asarray(data[k])
+           for k in ("rgb", "cld_rgb_nrm", "choose", "xyz_img")}
+    model = GeoMatchDGCNN(approx_knn=True)
+    variables = jax.jit(lambda r: model.init(
+        r, {"cld_rgb_nrm": fin["cld_rgb_nrm"]}, mesh_x,
+        train=False))(jax.random.PRNGKey(0))
+    mesh_feats = jax.jit(lambda m: model.apply(
+        variables, m, train=False, method="encode_mesh"))(mesh_x)
+    step = jax.jit(lambda f, mx, mf, xyz: run_inference(
+        model.apply, variables, f, mx, mf, xyz, 0.01,
+        needs_pyramid=False, knn_chunk=1024, exact_knn=False,
+        refine=None))
+    for _ in range(warmup):
+        out = step(fin, mesh_x, mesh_feats, mesh_xyz)
+    float(jax.device_get(out[0, 0, 0]))         # see run_on
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(fin, mesh_x, mesh_feats, mesh_xyz)
+    float(jax.device_get(out[0, 0, 0]))
+    return int(fin["rgb"].shape[0]) * iters / (time.perf_counter() - t0)
+
+
 def measure_vsd(n_frames=32, reps=2, seed=3):
     """Batched BOP-VSD ms/frame (eval/vsd.vsd_err_batch) on an LMO-like
     workload: ~0.1 m icosphere-ish object, 640x480 frames.  All frames
@@ -414,6 +454,13 @@ def main():
             except Exception as e:   # keep the headline even if train
                 result[key] = None   # measurement fails
                 result[key + "_error"] = str(e)[:120]
+
+    if os.environ.get("GDM_BENCH_DGCNN", "1") != "0":
+        try:
+            result["dgcnn_fps"] = round(measure_dgcnn(data, mesh_fps), 3)
+        except Exception as e:
+            result["dgcnn_fps"] = None
+            result["dgcnn_error"] = str(e)[:120]
 
     if os.environ.get("GDM_BENCH_VSD", "1") != "0":
         try:

@@ -218,6 +218,24 @@ class TestDGCNN:
         assert np.isfinite(np.asarray(out["loss"]))
         assert out["seg"].shape == (B, N, 2)
 
+        # approx graphs are the CLI train default — the backward must
+        # flow through approx_max_k-built gathers (indices are integer,
+        # so only the gather VJP is exercised, but pin it anyway)
+        approx = GeoMatchDGCNN(k_scene=8, k_mesh=8, approx_knn=True)
+
+        def loss_fn(p):
+            o, _ = approx.apply(
+                {"params": p, "batch_stats": params["batch_stats"]},
+                inputs, mesh_x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return o["loss"]
+
+        grads = jax.grad(loss_fn)(params["params"])
+        norms = [float(jnp.linalg.norm(g))
+                 for g in jax.tree_util.tree_leaves(grads)]
+        assert all(np.isfinite(n) for n in norms)
+        assert sum(n > 0 for n in norms) > len(norms) * 0.5
+
 
 class TestLosses:
     def test_focal_matches_reference_formula(self):
