@@ -23,6 +23,59 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
+def train_bench(args, batch=24, steps=10, warmup=2):
+    """b=24 DGCNN train step (forward+loss+backward+Adam in one jit),
+    mirroring bench.py measure_train and the cli train path for the
+    dgcnn backbone (inputs pre-assembled, build_pyramid_in_step=False)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.data.synthetic import make_batch, make_object
+    from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
+    from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
+    from gdm_tpu.train import (
+        bn_momentum_schedule,
+        create_train_state,
+        cyclic_lr,
+        make_train_step,
+    )
+
+    IM, NS, NM = args.im, args.n_sample, args.n_mesh
+    rng = np.random.RandomState(0)
+    K = np.array([[572.4, 0, IM / 2], [0, 573.6, IM / 2], [0, 0, 1]],
+                 np.float32)
+    mesh_fps = make_object(NM, rng, radius=0.08)
+    pts_m = mesh_fps[:, :3] / 1000.0
+    rgb_n = (mesh_fps[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    mesh_x = jnp.asarray(np.concatenate(
+        [pts_m, rgb_n, mesh_fps[:, 6:9]], axis=1).astype(np.float32))
+    data, _ = make_batch(mesh_fps, batch, K, im_size=IM, n_sample=NS,
+                         seed=7)
+    inputs = {k: jnp.asarray(data[k]) for k in (
+        "cld_rgb_nrm", "labels", "origin_labels", "match_idx",
+        "visible_flag", "RT")}
+
+    model = GeoMatchDGCNN(approx_knn=not args.exact)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), inputs, mesh_x,
+        cyclic_lr(1e-5, 1e-3, 100))
+    step = make_train_step(bn_momentum_schedule(batch_size=batch),
+                           build_pyramid_in_step=False)
+    key = jax.random.PRNGKey(3)
+    print("train compile...", flush=True)
+    for _ in range(warmup):
+        state, metrics = step(state, inputs, mesh_x, key)
+    float(jax.device_get(metrics["loss"]))       # real fetch (CLAUDE.md)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, inputs, mesh_x, key)
+    float(jax.device_get(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / steps
+    mode = "exact" if args.exact else "approx"
+    print(f"dgcnn train b={batch} ({mode} knn): {dt * 1e3:.1f} ms/step "
+          f"= {batch / dt:.1f} samples/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -34,7 +87,12 @@ def main():
     ap.add_argument("--exact", action="store_true",
                     help="exact top_k edge-conv graphs "
                          "(model.dgcnn_exact_knn parity mode)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the b=24 fused train step instead "
+                         "(samples/sec, like bench.py's flagship number)")
     args = ap.parse_args()
+    if args.train:
+        return train_bench(args)
 
     import jax
     import jax.numpy as jnp
