@@ -495,10 +495,50 @@ def test_train_then_eval_dgcnn(monkeypatch_module, bop_root,
         "--batch-size", "2", "--devices", "2", "--num-workers", "2",
     ])
     assert state is not None
+    out_dir = str(tmp_path_factory.mktemp("out_dg"))
     results = cli.main([
         "eval", "--dataset", "lmo", "--data-root", bop_root,
         "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2", "--devices", "2",
         "--num-workers", "2",
-        "--output-dir", str(tmp_path_factory.mktemp("out_dg")),
+        "--output-dir", out_dir,
     ])
     assert len(results["errors"]["ape"]["ad"]) == 4
+
+    # --- AOT serving artifact on the DGCNN backbone ------------------
+    # Same contract as the flagship artifact test above: replaying the
+    # test split's raw batches through the exported program reproduces
+    # the poses the eval CSV recorded (no KNN pyramid in this variant —
+    # needs_pyramid must export False).
+    from gdm_tpu import serve
+    from gdm_tpu.data.dataset import PoseDataset
+    from gdm_tpu.data.loader import DataLoader as GDMLoader
+    from gdm_tpu.refdata import get as get_refdata
+
+    sv_dir = osp.join(str(tmp_path_factory.mktemp("sv_dg")), "art")
+    info = cli.main([
+        "export-serving", "--dataset", "lmo", "--data-root", bop_root,
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2",
+        "--out", sv_dir, "--platforms", "cpu",
+    ])
+    assert info["obj_name"] == "ape" and not info["needs_pyramid"]
+    art = serve.load_artifact(sv_dir)
+    refd = get_refdata("lmo")
+    ds = PoseDataset(cfg, 1, "test",
+                     diameter_m=refd.diameters_mm_by_id[1] / 1000.0,
+                     data_root=bop_root)
+    raw_keys = set(art.meta["raw_spec"])
+    got = []
+    for batch, _ in GDMLoader(ds, 2, shuffle=False, drop_last=False,
+                              num_workers=2):
+        poses = np.asarray(art.run(
+            {k: v for k, v in batch.items() if k in raw_keys}))
+        got.extend(poses)
+    with open(osp.join(out_dir, "gt_lmo-test.csv")) as f:
+        csv_rows = f.read().strip().split("\n")[1:]
+    assert len(got) == len(csv_rows) == 4
+    for pose, row in zip(got, csv_rows):
+        parts = row.split(",")
+        R_csv = np.fromstring(parts[4], sep=" ").reshape(3, 3)
+        t_csv = np.fromstring(parts[5], sep=" ") / 1000.0
+        np.testing.assert_allclose(pose[:, :3], R_csv, atol=1e-4)
+        np.testing.assert_allclose(pose[:, 3], t_csv, atol=1e-5)
