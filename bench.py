@@ -37,11 +37,44 @@ import json
 import os
 import os.path as osp
 import sys
+import threading
 import time
 
 import numpy as np
 
 REPO = osp.dirname(osp.abspath(__file__))
+
+_PRINTED = threading.Event()
+
+
+def _emit(result):
+    """Print the one JSON line exactly once (main path or watchdog)."""
+    if not _PRINTED.is_set():
+        _PRINTED.set()
+        print(json.dumps(result), flush=True)
+
+
+def _start_watchdog(result):
+    """The tunneled chip occasionally WEDGES (CLAUDE.md): a jax call then
+    blocks forever in C, beyond any Python signal.  A daemon timer prints
+    whatever `result` holds so far and hard-exits, so the driver always
+    gets a JSON line.  GDM_BENCH_DEADLINE_S=0 disables (default 2700 s;
+    a clean full run is ~25 min incl. ~8 first-compiles)."""
+    deadline = float(os.environ.get("GDM_BENCH_DEADLINE_S", "2700"))
+    if deadline <= 0:
+        return None
+
+    def fire():
+        result["partial"] = True
+        result["error"] = (f"bench deadline {deadline:.0f}s hit "
+                           "(wedged chip?); metrics so far only")
+        _emit(result)
+        os._exit(2)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def build_workload(im=256, n_sample=4096, n_mesh=4096, batch=8, seed=0):
@@ -426,6 +459,14 @@ def measure_vsd(n_frames=32, reps=2, seed=3):
 
 
 def main():
+    result = {
+        "metric": "ycbv_shaped_inference_fps_per_chip",
+        "value": None,
+        "unit": "frames/sec",
+        "vs_baseline": None,
+    }
+    watchdog = _start_watchdog(result)
+
     import jax
 
     from gdm_tpu.models import GeoMatch
@@ -467,17 +508,15 @@ def main():
     else:
         baseline_fps, baseline_kind = jax_cpu_fps, "self_jax_cpu"
 
-    result = {
-        "metric": "ycbv_shaped_inference_fps_per_chip",
+    result.update({
         "value": round(fps, 3),
-        "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 2),
         "baseline_fps": round(baseline_fps, 3),
         "baseline_kind": baseline_kind,
         "jax_cpu_fps": round(jax_cpu_fps, 3),
         "batch": int(data["rgb"].shape[0]),
         "device": str(accel.platform),
-    }
+    })
 
     if os.environ.get("GDM_BENCH_BF16", "1") != "0":
         try:
@@ -524,7 +563,9 @@ def main():
             result["vsd_ms_per_frame_batched"] = None
             result["vsd_error"] = str(e)[:120]
 
-    print(json.dumps(result))
+    if watchdog is not None:
+        watchdog.cancel()
+    _emit(result)
 
 
 if __name__ == "__main__":
