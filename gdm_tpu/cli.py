@@ -103,7 +103,8 @@ def _make_model(cfg, diameter_m, mesh_fps, mesh_arr, exact_knn=False):
 
         model = GeoMatchDGCNN(
             feat_dim=cfg.model.feat_dim,
-            approx_knn=not (exact_knn or cfg.model.dgcnn_exact_knn))
+            approx_knn=not (exact_knn or cfg.model.dgcnn_exact_knn),
+            compute_dtype=jnp.dtype(cfg.model.compute_dtype))
         pts = mesh_fps[:, :3]                    # metres (load_fps_mesh)
         rgb_n = (mesh_fps[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         mesh_x = jnp.asarray(np.concatenate(

@@ -40,8 +40,13 @@ def graph_feature_b(x: jax.Array, k: int, pos: jax.Array | None = None,
     the 0.85-recall partial reduction is fine.  Exact top_k is ~75 ms on
     [8,4096,4096] vs ~5 ms approx (the whole exact-mode forward was
     top_k-bound: 221 ms/batch, of which ~3x75 was the three graphs).
+
+    KNN coordinates are always widened to f32: bf16 distances into the
+    top-k reduction are measured NOT faster and lose recall (the
+    reduction is shape-bound — CLAUDE.md negative, 2026-08-18), so under
+    compute_dtype=bfloat16 only the conv/gather activations narrow.
     """
-    coords = x if pos is None else pos
+    coords = (x if pos is None else pos).astype(jnp.float32)
 
     def one(c):
         return knn(c, c, k, chunk=1024, approx=approx, recall_target=0.85)
@@ -56,11 +61,12 @@ def graph_feature_b(x: jax.Array, k: int, pos: jax.Array | None = None,
 
 class _ConvBNLRelu(nn.Module):
     features: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
-        x = nn.Dense(self.features, use_bias=False)(x)
-        x = BatchNorm()(x, train, momentum)
+        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train, momentum)
         return leaky_relu02(x)
 
 
@@ -72,6 +78,8 @@ class DgcnnTrunk(nn.Module):
     feat_dim: int = 128
     dropout: float = 0.1
     approx_knn: bool = False   # approx graph build (see graph_feature_b)
+    dtype: object = jnp.float32   # activation compute dtype; params and
+    # KNN coordinates stay f32 (graph_feature_b), output cast by caller
 
     @nn.compact
     def __call__(self, cloud, train: bool = False, momentum=0.1):
@@ -79,32 +87,34 @@ class DgcnnTrunk(nn.Module):
         n = cloud.shape[1]
         ax = self.approx_knn
 
-        e = graph_feature_b(cloud, self.k, pos=cloud[..., :3],
+        e = graph_feature_b(cloud.astype(self.dtype), self.k,
+                            pos=cloud[..., :3],
                             approx=ax)                    # [B,n,k,18]
-        e = _ConvBNLRelu(64, name="conv1")(e, train, momentum)
-        e = _ConvBNLRelu(64, name="conv2")(e, train, momentum)
+        e = _ConvBNLRelu(64, dtype=self.dtype, name="conv1")(e, train, momentum)
+        e = _ConvBNLRelu(64, dtype=self.dtype, name="conv2")(e, train, momentum)
         x1 = jnp.max(e, axis=2)
 
         e = graph_feature_b(x1, self.k, approx=ax)
-        e = _ConvBNLRelu(64, name="conv3")(e, train, momentum)
-        e = _ConvBNLRelu(64, name="conv4")(e, train, momentum)
+        e = _ConvBNLRelu(64, dtype=self.dtype, name="conv3")(e, train, momentum)
+        e = _ConvBNLRelu(64, dtype=self.dtype, name="conv4")(e, train, momentum)
         x2 = jnp.max(e, axis=2)
 
         e = graph_feature_b(x2, self.k, approx=ax)
-        e = _ConvBNLRelu(64, name="conv5")(e, train, momentum)
+        e = _ConvBNLRelu(64, dtype=self.dtype, name="conv5")(e, train, momentum)
         x3 = jnp.max(e, axis=2)
 
         cat = jnp.concatenate([x1, x2, x3], axis=-1)      # [B, n, 192]
-        g = _ConvBNLRelu(self.embed_dim, name="conv6")(cat, train, momentum)
+        g = _ConvBNLRelu(self.embed_dim, dtype=self.dtype, name="conv6")(cat, train, momentum)
         g = jnp.max(g, axis=1, keepdims=True)             # global embed
         g = jnp.broadcast_to(g, (cat.shape[0], n, self.embed_dim))
 
         h = jnp.concatenate([g, x1, x2, x3], axis=-1)     # [B, n, 1216]
-        h = _ConvBNLRelu(512, name="conv7")(h, train, momentum)
-        h = _ConvBNLRelu(256, name="conv8")(h, train, momentum)
+        h = _ConvBNLRelu(512, dtype=self.dtype, name="conv7")(h, train, momentum)
+        h = _ConvBNLRelu(256, dtype=self.dtype, name="conv8")(h, train, momentum)
         h = nn.Dropout(self.dropout, deterministic=not train,
                        name="dp1")(h)
-        return nn.Dense(self.feat_dim, use_bias=False, name="conv9")(h)
+        return nn.Dense(self.feat_dim, use_bias=False,
+                        dtype=self.dtype, name="conv9")(h)
 
 
 class DgcnnPointEmb(nn.Module):
@@ -115,11 +125,12 @@ class DgcnnPointEmb(nn.Module):
     feat_dim: int = 128
     dropout: float = 0.1
     approx_knn: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, cld_rgb_nrm, train: bool = False, momentum=0.1):
         return DgcnnTrunk(self.k, self.embed_dim, self.feat_dim,
-                          self.dropout, self.approx_knn,
+                          self.dropout, self.approx_knn, self.dtype,
                           name="trunk")(cld_rgb_nrm, train, momentum)
 
 
@@ -136,10 +147,11 @@ class DgcnnMeshEmb(nn.Module):
     feat_dim: int = 128
     dropout: float = 0.1
     approx_knn: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, mesh_x, train: bool = False, momentum=0.1):
         out = DgcnnTrunk(self.k, self.embed_dim, self.feat_dim,
-                         self.dropout, self.approx_knn,
+                         self.dropout, self.approx_knn, self.dtype,
                          name="trunk")(mesh_x[None], train, momentum)
         return out[0]

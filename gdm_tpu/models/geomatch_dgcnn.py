@@ -35,13 +35,18 @@ class GeoMatchDGCNN(nn.Module):
     # (parity tests instantiate the bare module); the CLI pipeline
     # defaults it ON via ModelConfig.dgcnn_exact_knn=False.
     approx_knn: bool = False
+    compute_dtype: object = jnp.float32   # edge-conv trunk activation
+    # dtype (flagship pattern, geomatch.py): KNN coordinates, heads and
+    # losses stay f32; params stay f32 so checkpoints are dtype-agnostic
 
     def setup(self):
         self.pcd_emb = DgcnnPointEmb(self.k_scene, feat_dim=self.feat_dim,
                                      approx_knn=self.approx_knn,
+                                     dtype=self.compute_dtype,
                                      name="pcd_emb")
         self.model_emb = DgcnnMeshEmb(self.k_mesh, feat_dim=self.feat_dim,
                                       approx_knn=self.approx_knn,
+                                      dtype=self.compute_dtype,
                                       name="model_emb")
         self.awl = AutomaticWeightedLoss(2, name="awl")
         self.feature_encoding_layer = MLPHead(
@@ -53,12 +58,13 @@ class GeoMatchDGCNN(nn.Module):
 
     def encode_mesh(self, mesh_x, train: bool = False, momentum=0.1):
         """Mesh branch alone (batch independent; eval caches it)."""
-        return self.model_emb(mesh_x, train, momentum)
+        return self.model_emb(mesh_x, train, momentum).astype(jnp.float32)
 
     def __call__(self, inputs, mesh_x, train: bool = False, momentum=0.1,
                  mesh_features=None):
         """mesh_x: [M, 9] mesh node features (xyz_m | rgb_norm | normal)."""
-        rgbd_emb = self.pcd_emb(inputs["cld_rgb_nrm"], train, momentum)
+        rgbd_emb = self.pcd_emb(
+            inputs["cld_rgb_nrm"], train, momentum).astype(jnp.float32)
         if mesh_features is None:
             mesh_features = self.encode_mesh(mesh_x, train, momentum)
         rgbd_features = self.feature_encoding_layer(

@@ -55,7 +55,9 @@ def train_bench(args, batch=24, steps=10, warmup=2):
         "cld_rgb_nrm", "labels", "origin_labels", "match_idx",
         "visible_flag", "RT")}
 
-    model = GeoMatchDGCNN(approx_knn=not args.exact)
+    model = GeoMatchDGCNN(approx_knn=not args.exact,
+                          compute_dtype=jnp.bfloat16 if args.bf16
+                          else jnp.float32)
     state = create_train_state(
         model, jax.random.PRNGKey(0), inputs, mesh_x,
         cyclic_lr(1e-5, 1e-3, 100))
@@ -72,6 +74,8 @@ def train_bench(args, batch=24, steps=10, warmup=2):
     float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / steps
     mode = "exact" if args.exact else "approx"
+    if args.bf16:
+        mode += " bf16"
     print(f"dgcnn train b={batch} ({mode} knn): {dt * 1e3:.1f} ms/step "
           f"= {batch / dt:.1f} samples/s")
 
@@ -90,6 +94,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure the b=24 fused train step instead "
                          "(samples/sec, like bench.py's flagship number)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="model.compute_dtype=bfloat16 (trunk activations"
+                         " narrow; KNN coords, heads, params stay f32)")
     args = ap.parse_args()
     if args.train:
         return train_bench(args)
@@ -116,7 +123,9 @@ def main():
     fin = {k: jnp.asarray(data[k])
            for k in ("rgb", "cld_rgb_nrm", "choose", "xyz_img")}
 
-    model = GeoMatchDGCNN(approx_knn=not args.exact)
+    model = GeoMatchDGCNN(approx_knn=not args.exact,
+                          compute_dtype=jnp.bfloat16 if args.bf16
+                          else jnp.float32)
     print("init...", flush=True)
     variables = jax.jit(lambda r: model.init(
         r, {"cld_rgb_nrm": fin["cld_rgb_nrm"]}, mesh_x,
@@ -145,6 +154,8 @@ def main():
     float(jax.device_get(out[0, 0, 0]))
     dt = (time.perf_counter() - t0) / args.iters
     mode = "exact" if args.exact else "approx"
+    if args.bf16:
+        mode += " bf16"
     print(f"dgcnn b={B} ({mode} knn): {dt * 1e3:.2f} ms/batch "
           f"= {B / dt:.1f} fps")
 

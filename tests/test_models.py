@@ -236,6 +236,21 @@ class TestDGCNN:
         assert all(np.isfinite(n) for n in norms)
         assert sum(n > 0 for n in norms) > len(norms) * 0.5
 
+        # compute_dtype=bfloat16: params stay f32 (checkpoints are
+        # dtype-agnostic), trunk narrows, heads/loss come back f32 and
+        # stay close to the f32 run (same init, same inputs)
+        bf16 = GeoMatchDGCNN(k_scene=8, k_mesh=8,
+                             compute_dtype=jnp.bfloat16)
+        for leaf in jax.tree_util.tree_leaves(params["params"]):
+            assert leaf.dtype == jnp.float32
+        out16, _ = bf16.apply(
+            params, inputs, mesh_x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        assert out16["seg"].dtype == jnp.float32
+        assert np.isfinite(float(out16["loss"]))
+        assert abs(float(out16["loss"]) - float(out["loss"])) < (
+            0.05 * abs(float(out["loss"])) + 0.05)
+
 
 class TestLosses:
     def test_focal_matches_reference_formula(self):
