@@ -51,7 +51,7 @@ class ModelConfig:
     spline_kernel: int = 5
     dgcnn_exact_knn: bool = False   # exact top_k edge-conv graphs for the
     # dgcnn backbone (parity mode); default approx — the forward is
-    # otherwise exact-top_k-bound (221 -> ~50 ms/batch at b=8).
+    # otherwise exact-top_k-bound (221 -> 18.7 ms/batch at b=8).
     # `cli eval/infer/export --exact-knn` also forces exact.
 
 
