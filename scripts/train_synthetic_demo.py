@@ -7,6 +7,12 @@ the full learning loop (loss -> descriptors -> correspondences -> Kabsch)
 that runs anywhere, including this repo's single tunneled TPU chip.
 
     python scripts/train_synthetic_demo.py [--steps 300] [--batch 8]
+        [--backbone randla|dgcnn] [--bf16]
+
+--backbone dgcnn trains the DGCNN variant (approx edge-conv graphs, the
+pipeline default); --bf16 sets model.compute_dtype=bfloat16 — together
+they validate convergence of the fastest training config (241 sps at
+production shapes, scripts/bench_dgcnn.py --train --bf16).
 """
 
 import argparse
@@ -28,6 +34,10 @@ def main():
     ap.add_argument("--n-mesh", type=int, default=512)
     ap.add_argument("--n-train-frames", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backbone", choices=("randla", "dgcnn"),
+                    default="randla")
+    ap.add_argument("--bf16", action="store_true",
+                    help="model.compute_dtype=bfloat16")
     args = ap.parse_args()
 
     import jax
@@ -63,19 +73,43 @@ def main():
         mesh_fps, args.batch, K, im_size=args.im,
         n_sample=args.n_sample, seed=args.seed + 999)
 
-    def inputs_of(d, sl=np.s_[:]):
-        return assemble_inputs(
-            jnp.asarray(d["rgb"][sl]), jnp.asarray(d["cld_rgb_nrm"][sl]),
-            jnp.asarray(d["choose"][sl]), jnp.asarray(d["xyz_img"][sl]),
-            labels=jnp.asarray(d["labels"][sl]),
-            match_idx=jnp.asarray(d["match_idx"][sl]),
-            visible_flag=jnp.asarray(d["visible_flag"][sl]),
-            RT=jnp.asarray(d["RT"][sl]), knn_chunk=256)
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    model = GeoMatch(positive_r=0.008)
+    if args.backbone == "dgcnn":
+        from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
+        from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
+
+        pts_m = mesh_fps[:, :3] / 1000.0
+        rgb_n = (mesh_fps[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        mesh_in = jnp.asarray(np.concatenate(
+            [pts_m, rgb_n, mesh_fps[:, 6:9]], axis=1).astype(np.float32))
+        mesh_xyz = mesh_in[:, :3]
+        model = GeoMatchDGCNN(approx_knn=True, compute_dtype=compute_dtype)
+
+        def inputs_of(d, sl=np.s_[:]):
+            # no pyramid: the DGCNN variant builds its edge-conv graphs
+            # inside the forward (bench.py measure_dgcnn_train layout)
+            return {k: jnp.asarray(d[k][sl]) for k in (
+                "cld_rgb_nrm", "labels", "origin_labels", "match_idx",
+                "visible_flag", "RT")}
+    else:
+        mesh_in, mesh_xyz = mesh, mesh.xyz
+
+        def inputs_of(d, sl=np.s_[:]):
+            return assemble_inputs(
+                jnp.asarray(d["rgb"][sl]),
+                jnp.asarray(d["cld_rgb_nrm"][sl]),
+                jnp.asarray(d["choose"][sl]),
+                jnp.asarray(d["xyz_img"][sl]),
+                labels=jnp.asarray(d["labels"][sl]),
+                match_idx=jnp.asarray(d["match_idx"][sl]),
+                visible_flag=jnp.asarray(d["visible_flag"][sl]),
+                RT=jnp.asarray(d["RT"][sl]), knn_chunk=256)
+
+        model = GeoMatch(positive_r=0.008, compute_dtype=compute_dtype)
     sample = inputs_of(train_data, np.s_[:args.batch])
     state = create_train_state(
-        model, jax.random.PRNGKey(args.seed), sample, mesh,
+        model, jax.random.PRNGKey(args.seed), sample, mesh_in,
         cyclic_lr(1e-5, 1e-3, max(args.steps // 6, 1)))
     step = make_train_step(bn_momentum_schedule(batch_size=args.batch),
                            build_pyramid_in_step=False)
@@ -85,9 +119,9 @@ def main():
         test_inputs = inputs_of(test_data)
         out = st.apply_fn(
             {"params": st.params, "batch_stats": st.batch_stats},
-            test_inputs, mesh, train=False)
+            test_inputs, mesh_in, train=False)
         poses = np.asarray(fit_poses_from_outputs(
-            jnp.asarray(test_data["cld_rgb_nrm"][..., :3]), out, mesh.xyz))
+            jnp.asarray(test_data["cld_rgb_nrm"][..., :3]), out, mesh_xyz))
         ads, res, tes = [], [], []
         mesh_pts = mesh_fps[:, :3] / 1000.0
         for b in range(args.batch):
@@ -108,7 +142,8 @@ def main():
                for i in range(n_batches)]
     t0 = time.perf_counter()
     for it in range(args.steps):
-        state, metrics = step(state, batches[it % n_batches], mesh, rng_j)
+        state, metrics = step(state, batches[it % n_batches], mesh_in,
+                              rng_j)
         if it % 50 == 0 or it == args.steps - 1:
             m = jax.device_get(metrics)
             print(f"step {it:4d}  loss {m['loss']:8.4f}  "
