@@ -590,3 +590,109 @@ class TestSentinelPose:
                              self.verts, self.faces, self.diameter)
         assert np.all(np.asarray(errs[0]) < 0.02)       # perfect frame
         assert np.all(np.asarray(errs[1]) > 0.95)       # sentinel = miss
+
+
+class TestHardMesh:
+    """Realistic-workload VSD (VERDICT r2 item 5): a concave, closed,
+    20k+-face trefoil-knot tube with deep self-occlusion — the
+    subdivision/bucketing/winding machinery exercised at real BOP mesh
+    complexity instead of the convex-sphere fixtures above."""
+
+    @pytest.fixture(scope="class")
+    def trefoil(self):
+        from gdm_tpu.data.synthetic import make_trefoil_mesh
+
+        return make_trefoil_mesh()
+
+    def test_manifold_and_scale(self, trefoil):
+        from gdm_tpu.eval.vsd import _winding_orientation
+
+        verts, faces = trefoil
+        assert len(faces) >= 20000
+        assert _winding_orientation(verts, faces) == 1.0
+
+    def test_cull_exact_on_concave_mesh(self, trefoil):
+        # concave meshes interleave front/back surfaces at several depths
+        # along one ray — culling must still be bit-identical (the convex
+        # sphere above can't catch a front-behind-back ordering bug)
+        import jax.numpy as jnp
+
+        from gdm_tpu.eval.vsd import _face_bucket, _visible_face_idx
+
+        verts, faces = trefoil
+        rng = np.random.RandomState(3)
+        R = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+        R *= np.sign(np.linalg.det(R))
+        t = np.array([0.0, 0.0, 0.45], np.float32)
+        origin = np.array([320.0 - 96, 240.0 - 96], np.float32)
+        side, tile = 192, 16
+        idx = _visible_face_idx(verts, faces, 1.0, R, t, K, origin,
+                                side, tile)
+        # roughly half the closed surface faces away from the camera
+        assert 0 < len(idx) < int(0.72 * len(faces))
+        vc = (verts @ R.T + t).astype(np.float32)
+        d_all = np.asarray(render_depth_window(
+            jnp.asarray(vc), jnp.asarray(faces), jnp.asarray(K),
+            jnp.asarray(origin), (side, side), tile))
+        fc = np.zeros((_face_bucket(len(idx)), 3), np.int32)
+        fc[:len(idx)] = faces[idx]
+        d_cull = np.asarray(render_depth_window(
+            jnp.asarray(vc), jnp.asarray(fc), jnp.asarray(K),
+            jnp.asarray(origin), (side, side), tile))
+        assert (d_all > 0).sum() > 2000
+        # the knot's own tube must occlude itself somewhere in this view
+        # (depth spread across crossings), or the workload isn't "hard"
+        cov = d_all[d_all > 0]
+        assert cov.max() - cov.min() > 0.02
+        np.testing.assert_array_equal(d_all, d_cull)
+
+    @pytest.mark.slow
+    def test_vsd_concave_cluttered(self, trefoil):
+        # full vsd_err on the hard mesh against a cluttered test depth:
+        # occluder patch + missing-depth holes, BOP19 visibility
+        verts, faces = trefoil
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.0, 0.0, 0.45], np.float32)
+        diameter = float(np.linalg.norm(
+            verts.max(0) - verts.min(0)))
+        depth = _gt_depth(verts @ R.T + t, faces)
+        assert (depth > 0).sum() > 5000
+        # clutter: an occluder plane covering part of the object + holes
+        occ_v, occ_f = square_mesh(half=0.02, z=0.35, cx=-0.03)
+        occ_d = _gt_depth(occ_v, occ_f)
+        depth_clut = depth.copy()
+        m = occ_d > 0
+        depth_clut[m] = occ_d[m]
+        holes = np.random.RandomState(5).rand(*depth.shape) < 0.05
+        depth_clut[holes] = 0.0
+        errs = vsd_err(R, t, R, t, depth_clut, K, verts, faces, diameter)
+        assert errs.shape == (10,)
+        assert np.all(errs < 0.1)       # perfect pose survives clutter
+        t_bad = t + np.array([0.5, 0, 0], np.float32)
+        errs_bad = vsd_err(R, t_bad, R, t, depth_clut, K, verts, faces,
+                           diameter)
+        assert np.all(errs_bad > 0.9)
+
+    @pytest.mark.slow
+    def test_batch_equals_single_on_hard_mesh(self, trefoil):
+        # the grouped/bucketed batch path must reproduce the single-frame
+        # path on the 20k-face concave mesh (subdivision cache, face
+        # buckets, host compaction all shared)
+        from gdm_tpu.eval.vsd import vsd_err, vsd_err_batch
+
+        verts, faces = trefoil
+        diameter = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+        rng = np.random.RandomState(4)
+        R = np.eye(3, dtype=np.float32)
+        poses, depths = [], []
+        for z in (0.45, 0.6):
+            t_gt = np.array([0, 0, z], np.float32)
+            d = _gt_depth(verts @ R.T + t_gt, faces)
+            t_est = t_gt + rng.randn(3).astype(np.float32) * 0.003
+            poses.append((R, t_est, R, t_gt))
+            depths.append(d)
+        batch = vsd_err_batch(poses, depths, K, verts, faces, diameter)
+        for i, (p, d) in enumerate(zip(poses, depths)):
+            single = vsd_err(p[0], p[1], p[2], p[3], d, K, verts, faces,
+                             diameter)
+            np.testing.assert_allclose(batch[i], single, atol=1e-6)
