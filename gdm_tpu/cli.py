@@ -225,13 +225,16 @@ def _train_inputs(fin, knn_chunk, needs_pyramid, positive_r=None):
     return inputs
 
 
-def _make_infer_jits(needs_pyramid, knn_chunk, exact_knn, refine):
+def _make_infer_jits(needs_pyramid, knn_chunk, exact_knn, refine,
+                     sp_mesh=None):
     """Staged inference jits shared by `eval` and `infer`.
 
     encode_mesh computes the batch-independent mesh features once per
     object; infer_step runs preprocess + forward + on-device pose fit.
     Staged programs schedule better than one monolithic jit on TPU and
     pipeline through the device queue (bench.py make_pipeline notes).
+    `sp_mesh` (a 2-D ('data', 'model') Mesh, from --model-shards) routes
+    the similarity argmax through parallel.sp.sharded_cosine_argmax.
     """
     import jax
 
@@ -251,9 +254,35 @@ def _make_infer_jits(needs_pyramid, knn_chunk, exact_knn, refine):
             {"params": state.params, "batch_stats": state.batch_stats},
             fin, mesh_input, mesh_feats, mesh_xyz, icp_reject,
             needs_pyramid=needs_pyramid, knn_chunk=knn_chunk,
-            exact_knn=exact_knn, refine=refine)
+            exact_knn=exact_knn, refine=refine, sp_mesh=sp_mesh)
 
     return encode_mesh, infer_step
+
+
+def _make_run_mesh(args, batch_size):
+    """The run's device mesh: 1-D 'data', or — when --model-shards N>1 —
+    a 2-D ('data', 'model') mesh whose 'model' axis shards the mesh
+    columns of the similarity argmax (parallel/sp.py; the SURVEY §2d
+    sequence-parallel story made reachable from the CLI, VERDICT r2
+    item 4).  Returns (mesh, model_shards)."""
+    from gdm_tpu.parallel import make_mesh
+
+    devs = _select_devices(args)
+    shards = getattr(args, "model_shards", None) or 1
+    if shards <= 1:
+        return make_mesh(devs), 1
+    from gdm_tpu.parallel.sp import make_mesh_2d
+
+    if len(devs) % shards:
+        raise SystemExit(f"--model-shards {shards} does not divide "
+                         f"{len(devs)} devices")
+    mesh = make_mesh_2d(devs, model=shards)
+    n_data = mesh.shape["data"]
+    if batch_size % n_data:
+        raise SystemExit(f"batch {batch_size} not divisible by the "
+                         f"data-axis size {n_data} "
+                         f"({len(devs)} devices / {shards} model shards)")
+    return mesh, shards
 
 
 def _device_batch(batch, mesh_dev, fill_depth):
@@ -618,7 +647,6 @@ def evaluate(args):
     from gdm_tpu.parallel import (
         all_gather_host,
         local_rows,
-        make_mesh,
         replicate,
     )
     from gdm_tpu.refdata import get as get_refdata
@@ -634,7 +662,7 @@ def evaluate(args):
     cfg = get_config(args.dataset, args.opt)
     refd = get_refdata(args.dataset)
     batch_size = args.batch_size or cfg.solver.val_batch_size
-    dev_mesh = make_mesh(_select_devices(args))
+    dev_mesh, model_shards = _make_run_mesh(args, batch_size)
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
     targets = _load_targets(args.targets) if args.targets else None
 
@@ -724,7 +752,8 @@ def evaluate(args):
         if infer is None:
             encode_mesh, infer = _make_infer_jits(
                 needs_pyramid, args.knn_chunk, args.exact_knn,
-                args.refine)
+                args.refine,
+                sp_mesh=dev_mesh if model_shards > 1 else None)
 
         n_done = 0
         viz_seen = {}
@@ -826,7 +855,6 @@ def infer(args):
     from gdm_tpu.parallel import (
         all_gather_host,
         local_rows,
-        make_mesh,
         replicate,
     )
     from gdm_tpu.refdata import get as get_refdata
@@ -844,7 +872,7 @@ def infer(args):
     cfg = get_config(args.dataset, args.opt)
     refd = get_refdata(args.dataset)
     batch_size = args.batch_size or cfg.solver.val_batch_size
-    dev_mesh = make_mesh(_select_devices(args))
+    dev_mesh, model_shards = _make_run_mesh(args, batch_size)
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
     if batch_size % jax.process_count():
         raise SystemExit(f"batch {batch_size} not divisible by "
@@ -885,7 +913,8 @@ def infer(args):
         if infer_step is None:
             encode_mesh, infer_step = _make_infer_jits(
                 needs_pyramid, args.knn_chunk, args.exact_knn,
-                args.refine)
+                args.refine,
+                sp_mesh=dev_mesh if model_shards > 1 else None)
 
         state = None
         mesh_feats = None
@@ -1286,6 +1315,11 @@ def build_parser():
     e.add_argument("--save-viz", default=None, metavar="DIR",
                    help="write per-frame pose-overlay PNGs (prediction "
                         "green, GT blue) onto the input crops")
+    e.add_argument("--model-shards", type=int, default=1,
+                   help="shard the mesh columns of the similarity "
+                        "argmax over a 'model' mesh axis of this size "
+                        "(2-D (data, model) device mesh; for meshes too "
+                        "large for one chip — parallel/sp.py)")
 
     i = sub.add_parser(
         "infer", help="GT-less deployment inference: rgb/depth + "
@@ -1315,6 +1349,9 @@ def build_parser():
     i.add_argument("--targets", default=None,
                    help="BOP test-targets JSON — infer only the listed "
                         "(scene, im, obj) instances")
+    i.add_argument("--model-shards", type=int, default=1,
+                   help="shard the similarity argmax's mesh columns "
+                        "over a 'model' mesh axis of this size")
 
     s = sub.add_parser(
         "score", help="offline re-scoring of a BOP results CSV "

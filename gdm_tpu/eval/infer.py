@@ -13,7 +13,8 @@ from __future__ import annotations
 
 def run_inference(apply_fn, variables, fin, mesh_input, mesh_feats,
                   mesh_xyz, icp_reject, *, needs_pyramid: bool,
-                  knn_chunk: int, exact_knn: bool, refine):
+                  knn_chunk: int, exact_knn: bool, refine,
+                  sp_mesh=None):
     """Finalized batch -> fitted poses [B, 3, 4].
 
     Args:
@@ -26,6 +27,12 @@ def run_inference(apply_fn, variables, fin, mesh_input, mesh_feats,
       icp_reject: ICP correspondence gate in metres (traced scalar).
       needs_pyramid / knn_chunk / exact_knn / refine: static knobs —
         callers jit over them.
+      sp_mesh: optional 2-D ('data', 'model') jax.sharding.Mesh (static;
+        parallel.sp.make_mesh_2d).  When given, the similarity argmax
+        runs model-axis sharded across the mesh columns
+        (parallel.sp.sharded_cosine_argmax — exact jnp.argmax semantics,
+        O(N*M/D_model) HBM per chip) instead of as one dense matmul;
+        the CLI's --model-shards flag routes here.
     """
     from gdm_tpu.data.pipeline import assemble_inputs
     from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
@@ -38,6 +45,13 @@ def run_inference(apply_fn, variables, fin, mesh_input, mesh_feats,
         inputs = {"cld_rgb_nrm": fin["cld_rgb_nrm"]}
     out = apply_fn(variables, inputs, mesh_input, train=False,
                    mesh_features=mesh_feats)
+    pre_idx = None
+    if sp_mesh is not None:
+        from gdm_tpu.parallel.sp import sharded_cosine_argmax
+
+        pre_idx, _ = sharded_cosine_argmax(
+            out["rgbd"], out["mesh"], sp_mesh)
     return fit_poses_from_outputs(
         fin["cld_rgb_nrm"][..., :3], out, mesh_xyz,
-        det=fin.get("det"), refine=refine, icp_reject_dist=icp_reject)
+        det=fin.get("det"), refine=refine, icp_reject_dist=icp_reject,
+        pre_idx=pre_idx)

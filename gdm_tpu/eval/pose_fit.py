@@ -87,6 +87,7 @@ def fit_poses_from_outputs(
     icp_iters: int = 10,
     use_pallas: bool = False,
     icp_reject_dist: jax.Array | float = 0.01,
+    pre_idx: jax.Array | None = None,
 ):
     """Batched pose fit from GeoMatch outputs.
 
@@ -101,6 +102,10 @@ def fit_poses_from_outputs(
         the gate follows the dataset's threshold convention (LM fixed
         1 cm, YCB-V nn_dist_th x diameter — linemod_pbr.py:38,
         ycbv_pbr.py:49).
+      pre_idx: [B, N] precomputed correspondence vertex ids — callers
+        that already ran the similarity argmax (e.g. the model-sharded
+        parallel.sp.sharded_cosine_argmax path) pass it here so the fit
+        skips the dense argmax.
 
     Returns:
       poses [B, 3, 4].
@@ -108,8 +113,7 @@ def fit_poses_from_outputs(
     b = cld.shape[0]
     det = jnp.ones((b,), jnp.float32) if det is None else det
 
-    pre_idx = None
-    if use_pallas:
+    if pre_idx is None and use_pallas:
         from gdm_tpu.ops.pallas.similarity import cosine_argmax_batched
 
         f = end_points["rgbd"] / jnp.maximum(jnp.linalg.norm(

@@ -210,6 +210,24 @@ def test_train_then_eval(mini_preset, bop_root, tmp_path_factory):  # noqa: F811
         assert results_t["recalls"]["ape"][m] == \
             results["recalls"]["ape"][m], m
 
+    # --- model-axis sharded similarity argmax (--model-shards) --------
+    # parallel/sp.py reachable from the CLI (VERDICT r2 item 4): a 2-D
+    # (data=1, model=2) device mesh shards the mesh columns of the
+    # correspondence argmax (sharded_cosine_argmax, exact jnp.argmax
+    # tie-break) — the metrics must reproduce the dense N=1 path.
+    results_sp = cli.main([
+        "eval", "--dataset", "lmo", "--data-root", bop_root,
+        "--ckpt-root", ckpt_root, "--cls-id", "1", "--batch-size", "2",
+        "--devices", "2", "--num-workers", "2", "--knn-chunk", "64",
+        "--output-dir", str(tmp_path_factory.mktemp("out_sp")),
+        "--model-shards", "2",
+    ])
+    assert results_sp["errors"]["ape"]["ad"] == pytest.approx(
+        results["errors"]["ape"]["ad"], abs=1e-6)
+    for m in ("ad_10", "re_5", "te_5", "proj_5"):
+        assert results_sp["recalls"]["ape"][m] == \
+            results["recalls"]["ape"][m], m
+
     # --- GT-less deployment inference (cli infer) ---------------------
     # Same checkpoint, but the dataset path reads ONLY rgb/depth/
     # scene_camera + detections (no scene_gt, no masks).  Re-scoring the

@@ -100,3 +100,36 @@ def test_sharded_matching_loss_grads_match():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gs_g), np.asarray(gr_g),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fit_poses_pre_idx_matches_dense():
+    """The eval-path integration the CLI's --model-shards flag drives
+    (VERDICT r2 item 4): fit_poses_from_outputs(pre_idx=<sharded argmax>)
+    must reproduce the dense path — identical correspondence ids and
+    (same-correspondence) identical fitted poses."""
+    from gdm_tpu.eval.pose_fit import fit_poses_from_outputs
+    from gdm_tpu.ops.pallas.similarity import cosine_argmax_batched
+
+    mesh2d = make_mesh_2d(jax.devices("cpu")[:2], data=1, model=2)
+    rng = np.random.RandomState(7)
+    b, n, mcols, c = 2, 64, 32, 16
+    cld = jnp.asarray((rng.rand(b, n, 3) - 0.5).astype(np.float32))
+    rgbd = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    meshf = jnp.asarray(rng.randn(mcols, c).astype(np.float32))
+    mesh_xyz = jnp.asarray(
+        ((rng.rand(mcols, 3) - 0.5) * 0.1).astype(np.float32))
+    seg = jnp.asarray(rng.randn(b, n, 2).astype(np.float32))
+    ep = {"seg": seg, "rgbd": rgbd, "mesh": meshf}
+
+    idx_sp, _ = sharded_cosine_argmax(rgbd, meshf, mesh2d)
+    f = rgbd / jnp.linalg.norm(rgbd, axis=-1, keepdims=True)
+    g = meshf / jnp.linalg.norm(meshf, axis=-1, keepdims=True)
+    idx_dense, _ = cosine_argmax_batched(f, g, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(idx_sp),
+                                  np.asarray(idx_dense))
+
+    poses_dense = fit_poses_from_outputs(cld, ep, mesh_xyz)
+    poses_sp = fit_poses_from_outputs(cld, ep, mesh_xyz, pre_idx=idx_sp)
+    np.testing.assert_allclose(np.asarray(poses_sp),
+                               np.asarray(poses_dense),
+                               rtol=1e-5, atol=1e-6)
