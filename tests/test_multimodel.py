@@ -82,6 +82,60 @@ def test_stacked_matches_per_object(setup):
         np.testing.assert_allclose(poses[b], np.asarray(rt), atol=1e-4)
 
 
+def test_routed_f32_exactness(setup):
+    """Pins the multimodel.py docstring claim (VERDICT r2 weak 4): under
+    f32 matmul precision the vmapped dynamic-slice routing produces ZERO
+    seg-argmax or correspondence-argmax flips vs the reference-style
+    per-object loop — compared EXACTLY, not by fitted pose."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.multimodel import select_tree, stack_trees
+    from gdm_tpu.eval.pose_fit import fit_pose_single
+
+    model, meshes, variables, datas = setup
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+
+    mixed_inputs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a[0], b[1]]),
+        datas[0][1], datas[1][1])
+    cld = jnp.stack([datas[0][0]["cld_rgb_nrm"][0, :, :3],
+                     datas[1][0]["cld_rgb_nrm"][1, :, :3]])
+    obj_idx = jnp.array([0, 1], jnp.int32)
+    det = jnp.ones((2,), jnp.float32)
+
+    def one(sv, sm, inp_b, cld_b, oi, det_b):
+        v = select_tree(sv, oi)
+        mesh = select_tree(sm, oi)
+        inputs_1 = jax.tree_util.tree_map(lambda x: x[None], inp_b)
+        out = model.apply(v, inputs_1, mesh, train=False)
+        _, w, idx = fit_pose_single(
+            cld_b, out["seg"][0], out["mesh"], out["rgbd"][0],
+            mesh.xyz, det_b)
+        return jnp.argmax(out["seg"][0], axis=-1), w, idx
+
+    with jax.default_matmul_precision("float32"):
+        seg_r, w_r, idx_r = jax.jit(jax.vmap(
+            one, in_axes=(None, None, 0, 0, 0, 0)))(
+            stacked_vars, stacked_mesh, mixed_inputs, cld, obj_idx, det)
+        for b, obj in enumerate([0, 1]):
+            inputs_1 = jax.tree_util.tree_map(
+                lambda x: x[b:b + 1], mixed_inputs)
+            out = model.apply(variables[obj], inputs_1, meshes[obj],
+                              train=False)
+            _, w, idx = fit_pose_single(
+                cld[b], out["seg"][0], out["mesh"], out["rgbd"][0],
+                meshes[obj].xyz, det[b])
+            np.testing.assert_array_equal(
+                np.asarray(seg_r[b]),
+                np.asarray(jnp.argmax(out["seg"][0], axis=-1)))
+            np.testing.assert_array_equal(np.asarray(idx_r[b]),
+                                          np.asarray(idx))
+            np.testing.assert_array_equal(np.asarray(w_r[b]),
+                                          np.asarray(w))
+
+
 def test_select_tree_roundtrip(setup):
     import jax.numpy as jnp
 
