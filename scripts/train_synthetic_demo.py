@@ -62,7 +62,6 @@ def main():
                   [0, 0, 1]], np.float32)
     rng = np.random.RandomState(args.seed)
     mesh_fps = make_object(args.n_mesh, rng, radius=0.06)
-    mesh = MeshArrays.from_graph(build_mesh_graph(mesh_fps, args.n_mesh))
 
     print(f"rendering {args.n_train_frames} train + {args.batch} "
           f"test frames ...")
@@ -93,6 +92,9 @@ def main():
                 "cld_rgb_nrm", "labels", "origin_labels", "match_idx",
                 "visible_flag", "RT")}
     else:
+        # only the randla path needs the KNN-pyramid MeshArrays; the
+        # dgcnn path builds edge-conv graphs on device (ADVICE r2)
+        mesh = MeshArrays.from_graph(build_mesh_graph(mesh_fps, args.n_mesh))
         mesh_in, mesh_xyz = mesh, mesh.xyz
 
         def inputs_of(d, sl=np.s_[:]):
