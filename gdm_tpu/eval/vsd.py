@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gdm_tpu.ops.render_depth import (
-    bin_faces_to_tiles,
+    bin_faces_to_slots,
+    bin_faces_to_tiles,  # noqa: F401 (dense layout kept for tests)
     render_depth_window,
     render_depth_window_gather,
 )
@@ -46,6 +47,12 @@ _FACE_CHUNK = 512
 # ms/frame on the bench workload)
 _CAND_BUCKET_MIN = 64
 _CAND_CHUNK = 512
+# gather renderer slot capacity (bin_faces_to_slots): small enough that
+# table bytes track the real candidate count (dense tiny-face meshes
+# have mean per-tile occupancy ~25 but worst-tile occupancy in the
+# thousands — a global max pad was ~1.2 GB/chunk and upload-bound
+# through the tunnel), large enough that per-row fixed costs amortise
+_SLOT_CAP = 64
 
 # per-mesh subdivision cache: the raster tile bounds screen-space triangle
 # size, so the required 3-D edge bound depends on how close the object can
@@ -264,10 +271,12 @@ def _vsd_one(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
     # z-buffer becomes a dense per-tile min-reduction — measured ~3x
     # faster than the scatter-min updates at the bench workload.
     if renderer == "gather":
+        cand, slots = faces
         d_est, d_gt = jax.vmap(
-            lambda v, c: render_depth_window_gather(
-                v, c, K, origin, window, tile, cand_chunk=_CAND_CHUNK)
-        )(jnp.stack([v_est, v_gt]), faces)
+            lambda v, c, st: render_depth_window_gather(
+                v, c, K, origin, window, tile, cand_chunk=_CAND_CHUNK,
+                slot_tile=st)
+        )(jnp.stack([v_est, v_gt]), cand, slots)
     else:
         d_est, d_gt = jax.vmap(
             lambda v, f: render_depth_window(v, f, K, origin, window,
@@ -332,8 +341,8 @@ def _vsd_core_batch(verts, faces, R_est, t_est, R_gt, t_gt, K, origin,
     bucket) serves every frame group of every object, and the per-frame
     renders batch into a single dispatch instead of one launch per
     frame.  `faces` is [B, 2, Fb, 3] (scatter: per-frame, per-render
-    culled face lists) or [B, 2, G, Kc, 3] (gather: per-tile candidate
-    triples)."""
+    culled face lists) or a ([B, 2, S, cap, 3], [B, 2, S]) slot-row
+    candidate table + slot->tile map (gather; bin_faces_to_slots)."""
 
     def one(f, R_e, t_e, R_g, t_g, o, d):
         return _vsd_one(verts, f, R_e, t_e, R_g, t_g, K, o, d,
@@ -495,21 +504,19 @@ def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
     jobs = jobs + [jobs[-1]] * (nb - n)
     if renderer == "gather":
         g = side // tile
-        cands = [[bin_faces_to_tiles(p, vis, f_np, side, tile)
-                  for p, vis in renders] for renders in proj]
-        kc = _face_bucket(
-            max(max(a.shape[1], b.shape[1]) for a, b in cands),
+        slotted = [[bin_faces_to_slots(p, vis, f_np, side, tile,
+                                       _SLOT_CAP)
+                    for p, vis in renders] for renders in proj]
+        sb = _face_bucket(
+            max(max(a[0].shape[0], b[0].shape[0]) for a, b in slotted),
             base=_CAND_BUCKET_MIN)
-        if kc > _CAND_CHUNK:
-            # the renderer scans _CAND_CHUNK-sized steps; a bucket that
-            # is not a multiple of it (768) would be re-padded on device
-            # (to 1024) — round up here so bucket == scanned length
-            kc = -(-kc // _CAND_CHUNK) * _CAND_CHUNK
-        lanes = np.zeros((nb, 2, g * g, kc, 3), np.int32)
+        lanes = np.zeros((nb, 2, sb, _SLOT_CAP, 3), np.int32)
+        slots = np.full((nb, 2, sb), g * g, np.int32)  # pad sentinel
         for i in range(nb):
-            ca, cb = cands[min(i, n - 1)]
-            lanes[i, 0, :, :ca.shape[1]] = ca
-            lanes[i, 1, :, :cb.shape[1]] = cb
+            for r, (cd, st) in enumerate(slotted[min(i, n - 1)]):
+                lanes[i, r, :cd.shape[0]] = cd
+                slots[i, r, :st.shape[0]] = st
+        lanes = (lanes, slots)
     else:
         vis = [[np.where(v)[0] for _, v in renders] for renders in proj]
         fb = _face_bucket(max(max(len(a), len(b)) for a, b in vis))
@@ -521,7 +528,8 @@ def _run_group(jobs, verts, faces, diameter, delta, taus, tile,
     stack = {k: jnp.asarray(np.stack([j[k] for j in jobs]))
              for k in ("R_est", "t_est", "R_gt", "t_gt", "origin", "win")}
     errs = _vsd_core_batch(
-        verts_dev, jnp.asarray(lanes),
+        verts_dev,
+        jax.tree_util.tree_map(jnp.asarray, lanes),
         stack["R_est"], stack["t_est"], stack["R_gt"], stack["t_gt"],
         jnp.asarray(Knp), stack["origin"], stack["win"],
         jnp.asarray(jobs[0]["im_hw"]),

@@ -273,6 +273,76 @@ def bin_faces_to_tiles(p: np.ndarray, valid: np.ndarray, faces: np.ndarray,
     return cand
 
 
+def bin_faces_to_slots(p: np.ndarray, valid: np.ndarray,
+                       faces: np.ndarray, side: int, tile: int,
+                       k_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """bin_faces_to_tiles with a FIXED per-row capacity: dense tiles
+    spill into extra rows ("slots") instead of inflating a global
+    max-occupancy pad.
+
+    The dense [G, k_max, 3] layout pays k_max = the WORST tile's
+    occupancy for every tile: on dense tiny-face meshes (20k faces,
+    1-2 px edges — real BOP complexity) one grazing-view tile can hold
+    thousands of candidates while the mean is ~25, and the padded
+    candidate table reached ~1.2 GB per 16-frame chunk — upload-bound
+    through the axon tunnel's slow, variable H2D path (measured 472 ->
+    13 MB/s between consecutive puts, 2026-08-20).  Slot rows bound the
+    padding at ~2x total: table bytes follow the REAL candidate count.
+    The renderer min-combines rows of the same tile afterwards
+    (order-free f32 min — bit-identical to the dense layout).
+
+    Returns:
+      (cand [S, k_cap, 3] int32 zero-padded, slot_tile [S] int32 —
+       row-major tile id of each slot row).  S = sum over non-empty
+      tiles of ceil(occupancy / k_cap); 1 all-zero slot for an empty
+      window.
+    """
+    g = side // tile
+    assert g * tile == side, (side, tile)
+    vi = np.where(valid)[0]
+    if len(vi) == 0:
+        return (np.zeros((1, k_cap, 3), np.int32),
+                np.zeros((1,), np.int32))
+    pv = p[vi]
+    bmin = np.floor(pv.min(axis=1))
+    bmax = np.floor(pv.max(axis=1))
+    tx0 = np.clip(bmin[:, 0] // tile, 0, g - 1).astype(np.int64)
+    tx1 = np.clip(bmax[:, 0] // tile, 0, g - 1).astype(np.int64)
+    ty0 = np.clip(bmin[:, 1] // tile, 0, g - 1).astype(np.int64)
+    ty1 = np.clip(bmax[:, 1] // tile, 0, g - 1).astype(np.int64)
+    pairs_t, pairs_f = [], []
+    for dy in (0, 1):
+        ty = np.minimum(ty0 + dy, ty1)
+        for dx in (0, 1):
+            tx = np.minimum(tx0 + dx, tx1)
+            keep = np.ones(len(vi), bool)
+            if dx:
+                keep &= tx1 > tx0
+            if dy:
+                keep &= ty1 > ty0
+            pairs_t.append(ty[keep] * g + tx[keep])
+            pairs_f.append(vi[keep])
+    tid = np.concatenate(pairs_t)
+    fid = np.concatenate(pairs_f)
+    counts = np.bincount(tid, minlength=g * g)           # [G]
+    order = np.argsort(tid, kind="stable")
+    tid_s, fid_s = tid[order], fid[order]
+    starts = np.zeros(g * g + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    within = np.arange(len(tid_s)) - starts[tid_s]       # pos in tile
+    rows_per_tile = -(-counts // k_cap)                  # ceil
+    row_starts = np.zeros(g * g + 1, np.int64)
+    np.cumsum(rows_per_tile, out=row_starts[1:])
+    S = int(row_starts[-1])
+    slot = row_starts[tid_s] + within // k_cap
+    col = within % k_cap
+    cand = np.zeros((S, k_cap, 3), np.int32)
+    cand[slot, col] = faces[fid_s]
+    slot_tile = np.repeat(np.arange(g * g, dtype=np.int32),
+                          rows_per_tile)
+    return cand, slot_tile
+
+
 @functools.partial(jax.jit,
                    static_argnames=("window", "tile", "cand_chunk"))
 def render_depth_window_gather(
@@ -283,12 +353,14 @@ def render_depth_window_gather(
     window: tuple[int, int] = (256, 256),
     tile: int = 32,
     cand_chunk: int = 256,
+    slot_tile: jax.Array | None = None,
 ) -> jax.Array:
     """Gather-formulation depth rasterizer: per-tile min-reduction.
 
     Same math as :func:`render_depth_window` but turned inside out: the
     host bins faces to the raster tiles their bbox overlaps
-    (:func:`bin_faces_to_tiles`), and each tile min-REDUCES the depth of
+    (:func:`bin_faces_to_tiles` / :func:`bin_faces_to_slots`), and each
+    tile min-REDUCES the depth of
     its candidate faces over its tile x tile pixels — a dense
     vectorizable reduction with no scatter.  The scatter-min z-buffer
     update is the dominant cost of the scatter form (~10 ns/update on
@@ -300,11 +372,21 @@ def render_depth_window_gather(
     Args:
       verts_cam: [V, 3] camera-frame vertices (metres).
       cand: [G, k, 3] int32 per-tile candidate vertex triples
-        (bin_faces_to_tiles output); all-zero rows are skipped.
+        (bin_faces_to_tiles output; all-zero rows are skipped), OR —
+        with `slot_tile` — [S, k, 3] slot rows (bin_faces_to_slots).
       K / origin / window / tile: as in render_depth_window; window
         sides must be multiples of `tile`.
       cand_chunk: candidates reduced per scan step — bounds the live
         [G, chunk, tile^2] temporary.
+      slot_tile: optional [S] int32 tile id per candidate row
+        (bin_faces_to_slots layout: fixed row capacity, dense tiles
+        span several rows).  Rows of the same tile min-combine via a
+        cheap S-row scatter-min; rows with slot_tile == G (the
+        caller's padding sentinel) are dropped.  This layout keeps the
+        uploaded table proportional to the REAL candidate count
+        instead of tiles x worst-tile occupancy — the dense layout's
+        table reached ~1.2 GB/chunk on 20k-face meshes and was
+        upload-bound through the tunnel.
 
     Returns: [h, w] float32 depth; 0 where no surface.
     """
@@ -319,17 +401,22 @@ def render_depth_window_gather(
     v = verts_cam[:, 1] * K[1, 1] / zs + K[1, 2] - origin[1]
     pix = jnp.stack([u, v], axis=1)                       # [V, 2]
 
+    rows = cand.shape[0]
     kc = cand.shape[1]
     chunk = min(cand_chunk, kc)
     pad = (-kc) % chunk
     if pad:
         cand = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)))
     nc = (kc + pad) // chunk
-    cand = cand.reshape(G, nc, chunk, 3).transpose(1, 0, 2, 3)
+    cand = cand.reshape(rows, nc, chunk, 3).transpose(1, 0, 2, 3)
 
-    # per-tile pixel-centre coordinates [G, s] (row-major tiles)
-    tg = jax.lax.broadcasted_iota(jnp.int32, (G, s), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (G, s), 1)
+    # per-row pixel-centre coordinates [rows, s]: row-major tile id
+    # from iota (dense layout) or from the slot->tile map
+    if slot_tile is None:
+        tg = jax.lax.broadcasted_iota(jnp.int32, (rows, s), 0)
+    else:
+        tg = jnp.broadcast_to(slot_tile[:, None], (rows, s))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, s), 1)
     sx = ((tg % gx) * tile + lane % tile).astype(jnp.float32) + 0.5
     sy = ((tg // gx) * tile + lane // tile).astype(jnp.float32) + 0.5
     big = jnp.asarray(jnp.inf, jnp.float32)
@@ -361,8 +448,14 @@ def render_depth_window_gather(
         zval = jnp.where(valid, zpix, big)
         return jnp.minimum(acc, jnp.min(zval, axis=1)), None
 
-    acc0 = jnp.full((G, s), big, jnp.float32)
+    acc0 = jnp.full((rows, s), big, jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, cand)
+    if slot_tile is not None:
+        # min-combine slot rows of the same tile: an S-row scatter-min
+        # of s-wide rows (a few thousand updates — negligible next to
+        # the reduction above); sentinel rows land in the extra row G
+        acc = jnp.full((G + 1, s), big, jnp.float32) \
+            .at[slot_tile].min(acc)[:G]
     depth = acc.reshape(gy, gx, tile, tile).transpose(0, 2, 1, 3)
     depth = depth.reshape(h, w)
     return jnp.where(jnp.isfinite(depth), depth, 0.0)
