@@ -38,6 +38,10 @@ def main():
                     default="randla")
     ap.add_argument("--bf16", action="store_true",
                     help="model.compute_dtype=bfloat16")
+    ap.add_argument("--exact-knn", action="store_true",
+                    help="dgcnn only: exact top_k edge-conv graphs (the "
+                         "reference's behaviour, models/dgcnn.py:21-27) "
+                         "instead of the pipeline-default approx_max_k")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +87,8 @@ def main():
         mesh_in = jnp.asarray(np.concatenate(
             [pts_m, rgb_n, mesh_fps[:, 6:9]], axis=1).astype(np.float32))
         mesh_xyz = mesh_in[:, :3]
-        model = GeoMatchDGCNN(approx_knn=True, compute_dtype=compute_dtype)
+        model = GeoMatchDGCNN(approx_knn=not args.exact_knn,
+                              compute_dtype=compute_dtype)
 
         def inputs_of(d, sl=np.s_[:]):
             # no pyramid: the DGCNN variant builds its edge-conv graphs
