@@ -575,3 +575,44 @@ class TestNormalEstimate:
         fps = mesh_fps_from_ply(p, 64)
         lens = np.linalg.norm(fps[:, 6:9], axis=1)
         np.testing.assert_allclose(lens, 1.0, atol=1e-5)
+
+
+def test_write_synthetic_bop_root_multiobject(tmp_path):
+    """The on-disk BOP fabricator (bench e2e + dress rehearsal): one
+    scene per object, detections, eval meshes — consumable by
+    build_index/load_detections exactly like a real BOP root."""
+    from gdm_tpu.data.bop import build_index, load_detections
+    from gdm_tpu.data.ply import load_ply
+    from gdm_tpu.data.synthetic import make_object, \
+        write_synthetic_bop_root
+
+    rng = np.random.RandomState(0)
+    meshes = {1: make_object(64, rng, radius=0.05),
+              5: make_object(64, rng, radius=0.04)}
+    root = str(tmp_path)
+    K = np.array([[140.0, 0, 80], [0, 140.0, 60], [0, 0, 1]], np.float32)
+    write_synthetic_bop_root(root, meshes, n_frames=2,
+                             subsets=("train_pbr", "test"),
+                             im_hw=(120, 160), K=K, eval_meshes=True)
+    for oid in (1, 5):
+        assert osp.exists(osp.join(root, "kps", f"obj_{oid:06d}_fps.npy"))
+        ply = load_ply(osp.join(root, "models_eval",
+                                f"obj_{oid:06d}.ply"))
+        assert len(ply["faces"]) > 0
+        assert np.abs(ply["pts"]).max() > 1.0             # mm units
+        recs, stats = build_index(
+            root, "train_pbr", (oid,), "train", im_hw=(120, 160),
+            selected_id=oid)
+        assert len(recs) == 2 and stats.invalid_box == 0
+        assert all(r.obj_id == oid for r in recs)
+    # detections: per-scene keys, max-score box beats the decoy
+    dets = load_detections(osp.join(root, "test", "real_det.json"))
+    assert set(dets) == {"0/0", "0/1", "1/0", "1/1"}
+    for v in dets.values():
+        for box in v.values():
+            assert box != (0, 0, 6, 6)
+    # both scenes listed
+    with open(osp.join(root, "test", "train.txt")) as f:
+        lines = f.read().split()
+    assert len(lines) == 4 and lines[0].startswith("000000/")
+    assert lines[2].startswith("000001/")
