@@ -182,10 +182,10 @@ def make_trefoil_mesh(n_u: int = 160, n_v: int = 64, scale: float = 0.02,
     int32), wound outward (positive signed volume) so eval/vsd's
     winding check enables exact backface culling.
 
-    The tube frame is parallel-transported along the knot; the residual
-    holonomy angle at the u-seam only twists the triangulation (the mesh
-    stays a closed 2-manifold — grid connectivity is topology, not
-    geometry).
+    The tube frame is parallel-transported along the knot and the
+    residual holonomy angle is distributed linearly over u, so the
+    u-seam closes without a twist (all edges stay O(curve_len/n_u) —
+    no oversized seam faces).
     """
     t = np.linspace(0, 2 * np.pi, n_u, endpoint=False)
     C = np.stack([np.sin(t) + 2 * np.sin(2 * t),
@@ -201,6 +201,15 @@ def make_trefoil_mesh(n_u: int = 160, n_v: int = 64, scale: float = 0.02,
         n0 /= np.linalg.norm(n0)
         N[i] = n0
     B = np.cross(T, N)
+    # holonomy: transport once more across the seam and measure the
+    # angle to N[0]; untwist by -theta*i/n_u so the seam closes clean
+    n_end = n0 - T[0] * np.dot(n0, T[0])
+    n_end /= np.linalg.norm(n_end)
+    theta = np.arctan2(np.dot(np.cross(N[0], n_end), T[0]),
+                       np.dot(N[0], n_end))
+    a = -(theta * np.arange(n_u) / n_u)[:, None]
+    N, B = (np.cos(a) * N + np.sin(a) * B,
+            -np.sin(a) * N + np.cos(a) * B)
     phi = np.linspace(0, 2 * np.pi, n_v, endpoint=False)
     ring = (np.cos(phi)[:, None, None] * N[None] +
             np.sin(phi)[:, None, None] * B[None])     # [n_v, n_u, 3]

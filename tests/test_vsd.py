@@ -674,6 +674,27 @@ class TestHardMesh:
         assert np.all(errs_bad > 0.9)
 
     @pytest.mark.slow
+    def test_slot_gather_matches_scatter(self, trefoil):
+        # the dense trefoil drives the slot binning into heavy row
+        # spilling (worst-tile occupancy in the hundreds at cap 64):
+        # the slot-row gather render must stay BIT-identical to the
+        # scatter z-buffer (per-pixel depth is a function of
+        # (face, pixel) only; min is order-free across slot rows)
+        from gdm_tpu.eval.vsd import vsd_err
+
+        verts, faces = trefoil
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.0, 0.0, 0.45], np.float32)
+        diameter = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+        depth = _gt_depth(verts @ R.T + t, faces)
+        t_est = t + np.array([0.002, -0.001, 0.003], np.float32)
+        e_g = vsd_err(R, t_est, R, t, depth, K, verts, faces, diameter,
+                      renderer="gather")
+        e_s = vsd_err(R, t_est, R, t, depth, K, verts, faces, diameter,
+                      renderer="scatter")
+        np.testing.assert_array_equal(e_g, e_s)
+
+    @pytest.mark.slow
     def test_batch_equals_single_on_hard_mesh(self, trefoil):
         # the grouped/bucketed batch path must reproduce the single-frame
         # path on the 20k-face concave mesh (subdivision cache, face
