@@ -1,0 +1,243 @@
+"""Full-surface dress rehearsal on one synthetic BOP root (VERDICT r2
+item 3): chain EVERY user-facing path once, at production shapes, with
+trained (non-random) weights —
+
+    fabricate 2-object BOP root -> cli train (per object) ->
+    cli eval --vsd (BOP19 AR table) -> cli infer -> cli score ->
+    cli export-serving -> HTTP serve + client
+
+and assert the poses/metrics are consistent across the eval / infer /
+serve paths.  Runs on whatever backend is default (the tunneled TPU
+chip here; the CLI's device selection honours a jax_default_device pin,
+so it can also rehearse on the virtual CPU platform).  Reference flow
+being rehearsed: test_lmo.sh -> train_lm.py:320-373 (which cannot chain
+GT-less inference or serving at all — those are framework-only).
+
+    python scripts/dress_rehearsal.py [--epochs 60] [--frames 48]
+        [--out docs/REHEARSAL.md] [--keep-root DIR]
+
+Writes a results table (markdown) to --out and prints it.
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+OBJ_IDS = (1, 5)                      # lmo ape + can (refdata diameters)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=48,
+                    help="train frames per object (test split gets 8)")
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--out", default="docs/REHEARSAL.md")
+    ap.add_argument("--keep-root", default=None,
+                    help="keep the fabricated BOP root at this path")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    from gdm_tpu import cli, server
+    from gdm_tpu.data.synthetic import make_object, \
+        write_synthetic_bop_root
+    from gdm_tpu.refdata import get as get_refdata
+
+    t_start = time.time()
+    print(f"backend: {jax.default_backend()}", flush=True)
+    refd = get_refdata("lmo")
+
+    root = args.keep_root or tempfile.mkdtemp(prefix="gdm_rehearsal_")
+    work = tempfile.mkdtemp(prefix="gdm_rehearsal_work_")
+    ckpt_root = osp.join(work, "ckpt")
+    out_dir = osp.join(work, "out")
+    rows = []
+
+    def step(name, fn):
+        t0 = time.time()
+        r = fn()
+        dt = time.time() - t0
+        rows.append((name, dt))
+        print(f"[{name}] {dt:.0f}s", flush=True)
+        return r
+
+    try:
+        # --- fabricate ------------------------------------------------
+        rng = np.random.RandomState(args.seed)
+        meshes = {oid: make_object(4096, rng, radius=0.05)
+                  for oid in OBJ_IDS}
+        step("fabricate", lambda: write_synthetic_bop_root(
+            root, meshes, n_frames=args.frames,
+            subsets=("train_pbr",), seed=args.seed,
+            z_range=(0.45, 0.6)))
+        step("fabricate-test", lambda: write_synthetic_bop_root(
+            root, meshes, n_frames=8, subsets=("test",),
+            seed=args.seed + 1, z_range=(0.45, 0.6), eval_meshes=True))
+
+        opt = ["--opt", f"data.obj_ids={','.join(map(str, OBJ_IDS))}"]
+
+        # --- train (per object; one compile serves both) --------------
+        step("train", lambda: cli.main([
+            "train", "--dataset", "lmo", "--data-root", root,
+            "--ckpt-root", ckpt_root, "--cls-id", "all",
+            "--epochs", str(args.epochs), "--batch-size",
+            str(args.batch), "--num-workers", "2", *opt]))
+
+        # --- eval with VSD + BOP19 AR ---------------------------------
+        results = step("eval", lambda: cli.main([
+            "eval", "--dataset", "lmo", "--data-root", root,
+            "--ckpt-root", ckpt_root, "--output-dir", out_dir,
+            "--vsd", *opt]))
+        print(results["table"], flush=True)
+
+        # --- GT-less infer + offline score ----------------------------
+        infer_csv = osp.join(work, "infer.csv")
+        step("infer", lambda: cli.main([
+            "infer", "--dataset", "lmo", "--data-root", root,
+            "--ckpt-root", ckpt_root, "--output", infer_csv, *opt]))
+        scored = step("score", lambda: cli.main([
+            "score", "--dataset", "lmo", "--data-root", root,
+            "--csv", infer_csv, *opt]))
+
+        # consistency: the GT-less infer path must reproduce the online
+        # eval metrics (deterministic per-index sampling)
+        mismatch = []
+        for oid in OBJ_IDS:
+            name = refd.id2obj[oid]
+            a = np.asarray(results["errors"][name]["ad"])
+            b = np.asarray(scored["errors"][name]["ad"])
+            if not np.allclose(a, b, atol=1e-6):
+                mismatch.append((name, float(np.abs(a - b).max())))
+        assert not mismatch, f"eval vs infer+score diverge: {mismatch}"
+
+        # --- AOT serving artifacts + HTTP daemon ----------------------
+        art_dirs = {}
+        for oid in OBJ_IDS:
+            name = refd.id2obj[oid]
+            art_dirs[name] = osp.join(work, f"art_{name}")
+            step(f"export-{name}", lambda oid=oid, name=name: cli.main([
+                "export-serving", "--dataset", "lmo", "--data-root",
+                root, "--ckpt-root", ckpt_root, "--cls-id", str(oid),
+                "--out", art_dirs[name], *opt]))
+
+        def serve_roundtrip():
+            from gdm_tpu.configs.base import get_config
+            from gdm_tpu.data.dataset import PoseDataset
+            from gdm_tpu.data.loader import DataLoader
+
+            svc = server.PoseService(
+                server.load_artifact_tree(list(art_dirs.values())))
+            svc.warmup()
+            httpd = server.make_server(svc, port=0)
+            th = threading.Thread(target=httpd.serve_forever, daemon=True)
+            th.start()
+            url = f"http://127.0.0.1:{httpd.server_address[1]}"
+            cfg = get_config("lmo", [f"data.obj_ids={OBJ_IDS[0]},"
+                                     f"{OBJ_IDS[1]}"])
+            worst = 0.0
+            try:
+                for oid in OBJ_IDS:
+                    name = refd.id2obj[oid]
+                    ds = PoseDataset(
+                        cfg, oid, "test",
+                        diameter_m=refd.diameters_mm_by_id[oid] / 1000.0,
+                        data_root=root)
+                    batch, meta = next(iter(DataLoader(
+                        ds, 8, shuffle=False, drop_last=False,
+                        num_workers=2)))
+                    spec = svc.resolve(name).meta["raw_spec"]
+                    raw = {k: np.asarray(batch[k]) for k in spec}
+                    poses, _ms = server.request_poses(url, raw, obj=name)
+                    # the served poses must match the eval CSV's for the
+                    # same frames (same checkpoint, same program)
+                    csv = osp.join(out_dir, "gt_lmo-test.csv")
+                    by_key = {}
+                    with open(csv) as f:
+                        next(f)
+                        for line in f:
+                            p = line.strip().split(",")
+                            key = (int(p[0]), int(p[1]), int(p[2]))
+                            R = np.array(list(map(float, p[4].split())),
+                                         np.float64).reshape(3, 3)
+                            t = np.array(list(map(float, p[5].split())),
+                                         np.float64) / 1000.0
+                            by_key[key] = (R, t)
+                    for i, m in enumerate(meta):
+                        scene_s, im_s = m["file_name"].split("/")[:2]
+                        R, t = by_key[(int(scene_s), int(im_s), oid)]
+                        dr = float(np.abs(poses[i][:, :3] - R).max())
+                        dt_ = float(np.abs(poses[i][:, 3] - t).max())
+                        worst = max(worst, dr, dt_)
+            finally:
+                httpd.shutdown()
+            # the exported TPU program and the live eval jit may pick
+            # different (equal-recall) approx_max_k neighbour sets
+            # (layout-dependent PartialReduce — CLAUDE.md), so chip
+            # poses agree to pose-metric noise, not bitwise; the
+            # bitwise artifact-vs-eval guarantee is pinned on the
+            # deterministic CPU platform by test_cli.
+            assert worst < 5e-3, f"serve vs eval poses diverge: {worst}"
+            return worst
+
+        worst = step("serve", serve_roundtrip)
+
+        # --- results table --------------------------------------------
+        lines = [
+            "# Dress rehearsal (full surface, trained weights)",
+            "",
+            f"Backend: **{jax.default_backend()}** — "
+            f"{time.strftime('%Y-%m-%d')}; 2 objects "
+            f"({', '.join(refd.id2obj[o] for o in OBJ_IDS)}), "
+            f"{args.frames} train / 8 test frames each at production "
+            f"shapes (480x640, 256^2 crop, 4096 pts, 4096-vertex "
+            f"meshes), {args.epochs} epochs, batch {args.batch}.",
+            "",
+            "Chain: fabricate -> train -> eval --vsd -> infer -> score "
+            "-> export-serving -> serve (HTTP).  Consistency asserted: "
+            "infer+score errors == online eval errors (atol 1e-6); "
+            f"served poses match the eval CSV poses to approx-KNN "
+            f"compile noise (worst |delta| {worst:.2e}; the exported "
+            f"TPU program may pick different equal-recall approx_max_k "
+            f"neighbours than the live jit — bitwise parity is pinned "
+            f"on the CPU platform by test_cli).",
+            "",
+            "| stage | wall time |",
+            "|---|---|",
+        ]
+        lines += [f"| {n} | {dt:.0f} s |" for n, dt in rows]
+        lines += ["", "## Metrics (synthetic 2-object set)", "",
+                  "```", results["table"], "```", ""]
+        for oid in OBJ_IDS:
+            name = refd.id2obj[oid]
+            lines.append(f"- {name}: ADD(-S) AUC "
+                         f"{results['auc'][name]:.2f}, BOP19 AR "
+                         f"{results['bop19_ar'][name]['bop19_ar']:.3f}")
+        lines.append("")
+        out = "\n".join(lines)
+        if args.out:
+            os.makedirs(osp.dirname(osp.abspath(args.out)), exist_ok=True)
+            with open(args.out, "w") as f:
+                f.write(out)
+        print(out)
+        print(f"total {time.time() - t_start:.0f}s")
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        if not args.keep_root:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
