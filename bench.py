@@ -782,6 +782,25 @@ def main():
             result["fps_bf16"] = None
             result["fps_bf16_error"] = str(e)[:120]
 
+    # VSD runs BEFORE the train/e2e/DGCNN sections: the metric is
+    # upload-sensitive (host-binned candidate tables each chunk) and
+    # the tunnel's H2D path degrades within long processes after the
+    # H2D-heavy train sections (friendly VSD measured 36 ms/frame at
+    # the END of a full bench run vs 9.1-9.8 standalone or early,
+    # 2026-08-20 — same code, same chip)
+    if os.environ.get("GDM_BENCH_VSD", "1") != "0":
+        try:
+            result["vsd_ms_per_frame_batched"] = round(
+                measure_vsd(reps=3), 2)
+        except Exception as e:
+            result["vsd_ms_per_frame_batched"] = None
+            result["vsd_error"] = str(e)[:120]
+        try:
+            result["vsd_ms_per_frame_hard"] = round(measure_vsd_hard(), 2)
+        except Exception as e:
+            result["vsd_ms_per_frame_hard"] = None
+            result["vsd_hard_error"] = str(e)[:120]
+
     if os.environ.get("GDM_BENCH_TRAIN", "1") != "0":
         train_carry = {}
         for dt_name, key, tag in (
@@ -807,6 +826,7 @@ def main():
             except Exception as e:
                 result["train_sps_e2e_b24"] = None
                 result["train_e2e_error"] = str(e)[:120]
+        train_carry.clear()       # release the retained state's HBM
 
     if os.environ.get("GDM_BENCH_DGCNN", "1") != "0":
         try:
@@ -820,18 +840,6 @@ def main():
         except Exception as e:
             result["dgcnn_train_sps_b24"] = None
             result["dgcnn_train_error"] = str(e)[:120]
-
-    if os.environ.get("GDM_BENCH_VSD", "1") != "0":
-        try:
-            result["vsd_ms_per_frame_batched"] = round(measure_vsd(), 2)
-        except Exception as e:
-            result["vsd_ms_per_frame_batched"] = None
-            result["vsd_error"] = str(e)[:120]
-        try:
-            result["vsd_ms_per_frame_hard"] = round(measure_vsd_hard(), 2)
-        except Exception as e:
-            result["vsd_ms_per_frame_hard"] = None
-            result["vsd_hard_error"] = str(e)[:120]
 
     if watchdog is not None:
         watchdog.cancel()
