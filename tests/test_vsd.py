@@ -717,3 +717,55 @@ class TestHardMesh:
             single = vsd_err(p[0], p[1], p[2], p[3], d, K, verts, faces,
                              diameter)
             np.testing.assert_allclose(batch[i], single, atol=1e-6)
+
+
+class TestSlotBinning:
+    """bin_faces_to_slots unit contract: same (tile, face) coverage as
+    the dense binning, rows capped at k_cap, dense tiles spilling."""
+
+    def test_spill_matches_dense_coverage(self):
+        from gdm_tpu.ops.render_depth import bin_faces_to_slots, \
+            bin_faces_to_tiles
+
+        rng = np.random.RandomState(0)
+        side, tile, k_cap = 64, 16, 4
+        n = 200
+        # clustered points so several tiles exceed k_cap
+        centers = rng.rand(n, 1, 2) * (side - 6)
+        p = (centers + rng.rand(n, 3, 2) * 3).astype(np.float32)
+        faces = rng.randint(1, 999, (n, 3)).astype(np.int32)
+        valid = rng.rand(n) < 0.8
+
+        dense = bin_faces_to_tiles(p, valid, faces, side, tile)
+        cand, slot_tile = bin_faces_to_slots(p, valid, faces, side,
+                                             tile, k_cap)
+        assert cand.shape[1] == k_cap
+        assert cand.shape[0] == slot_tile.shape[0]
+        # at least one tile spilled into several rows
+        assert len(slot_tile) > len(np.unique(slot_tile))
+
+        def coverage(table, tiles):
+            out = set()
+            for row, t in zip(table, tiles):
+                for tri in row:
+                    if tri.any():
+                        out.add((int(t), tuple(int(x) for x in tri)))
+            return out
+
+        g = side // tile
+        dense_cov = coverage(dense, np.arange(g * g))
+        slot_cov = coverage(cand, slot_tile)
+        assert slot_cov == dense_cov
+
+    def test_empty_and_single(self):
+        from gdm_tpu.ops.render_depth import bin_faces_to_slots
+
+        p = np.zeros((3, 3, 2), np.float32)
+        faces = np.arange(9, dtype=np.int32).reshape(3, 3) + 1
+        cand, st = bin_faces_to_slots(p, np.zeros(3, bool), faces,
+                                      32, 16, 8)
+        assert cand.shape == (1, 8, 3) and not cand.any()
+        cand, st = bin_faces_to_slots(p, np.array([True, False, False]),
+                                      faces, 32, 16, 8)
+        assert (cand[0, 0] == faces[0]).all()
+        assert st[0] == 0
