@@ -46,6 +46,14 @@ finalize/pyramid into the same compiled train step (measure_train_e2e).
 cluttered test depth (the realistic workload; `_batched` is the
 friendly convex one).
 
+Self-diagnosis keys (VERDICT r3 items 2/7): `h2d_mbps_pre/post` =
+tunnel H2D bandwidth probes bracketing the upload-sensitive sections
+(a large pre->post drop means late sections measured a degraded
+tunnel, not a regression — re-measure standalone before believing
+them); `section_s` = per-section wall-clock; `mfu_note` says which
+utilization key is load-bearing (sol_*, not mfu_*, for
+bandwidth-bound steps).
+
 Prints exactly one JSON line.
 """
 
@@ -113,6 +121,51 @@ PEAK_FLOPS = {"float32": 49e12, "bfloat16": 197e12}
 PEAK_HBM_BPS = 819e9
 
 
+def h2d_probe(device, mb: int = 64):
+    """Tunnel-health probe: MB/s of one fixed-size host->device put.
+
+    The axon tunnel's H2D bandwidth DEGRADES within long processes
+    (measured 472 -> 13 MB/s between consecutive 1 GB puts, 2026-08-20)
+    and upload-sensitive metrics (VSD candidate tables, train batches)
+    swing 25-75% with it.  Publishing the probe before and after those
+    sections lets the driver/judge tell tunnel mood from a real
+    regression without a manual chip session (VERDICT r3 item 2).
+    ~0.1-5 s at 64 MB depending on tunnel health."""
+    import jax
+
+    buf = np.ones((mb << 20) // 4, np.float32)
+    # absorb lazy transfer-path init so the timed put is steady-state
+    jax.device_put(np.ones(1024, np.float32), device).block_until_ready()
+    t0 = time.perf_counter()
+    x = jax.device_put(buf, device)
+    x.block_until_ready()
+    # block_until_ready alone has lied through the tunnel (CLAUDE.md);
+    # one scalar fetch of the transferred buffer cannot
+    float(jax.device_get(x[-1]))
+    return round(mb / (time.perf_counter() - t0), 1)
+
+
+class _SectionTimer:
+    """Per-section wall-clock, emitted as the `section_s` JSON key so a
+    slow section is attributable from the driver's record alone."""
+
+    def __init__(self, result):
+        self.times = {}
+        result["section_s"] = self.times
+
+    def __call__(self, name):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.times[name] = round(time.perf_counter() - t0, 1)
+        return cm()
+
+
 def _cost_of(compiled):
     """(flops, bytes) from an AOT-compiled executable's cost_analysis;
     returns (0, 0) if the backend doesn't report (keys vary by version:
@@ -131,7 +184,12 @@ def _cost_of(compiled):
 class _Stage:
     """jit stage compiled once via AOT so the SAME executable serves the
     timing loop and cost_analysis (an extra .lower().compile() would pay
-    a second 20-300 s remote compile through the axon tunnel)."""
+    a second 20-300 s remote compile through the axon tunnel).
+
+    NOTE: unlike jax.jit, the executable is PINNED to the first call's
+    shapes/dtypes — a later call with a different signature raises an
+    AOT input-mismatch error instead of retracing.  Build a fresh
+    pipeline per workload shape."""
 
     def __init__(self, fn):
         import jax
@@ -442,7 +500,7 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
 
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
-    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.data.loader import DataLoader, DevicePrefetcher
     from gdm_tpu.data.pipeline import assemble_inputs, finalize_batch
     from gdm_tpu.data.synthetic import write_synthetic_bop_root
 
@@ -464,30 +522,42 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
                     "labels", "origin_labels", "match_idx",
                     "visible_flag", "RT")
 
+        def stage(b):
+            """H2D + finalize/pyramid dispatch for one host batch; runs
+            in DevicePrefetcher's staging thread one batch ahead of the
+            step — the same overlap `cli train` now uses."""
+            dev = {k: jnp.asarray(v) for k, v in b.items()
+                   if k in fin_keys}
+            fin = finalize_batch(dev, fill_depth=cfg.data.fill_depth)
+            return assemble_inputs(
+                fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+                fin["xyz_img"], labels=fin["labels"],
+                match_idx=fin["match_idx"],
+                visible_flag=fin["visible_flag"], RT=fin["RT"])
+
         def run_batches(n, epoch0):
             nonlocal state
-            done, epoch = 0, epoch0
+            epoch_end = [epoch0]
+
+            def host_batches():
+                done, epoch = 0, epoch0
+                while done < n:
+                    dl.set_epoch(epoch)
+                    epoch += 1
+                    epoch_end[0] = epoch
+                    for b, _ in dl:
+                        yield b
+                        done += 1
+                        if done >= n:
+                            return
+
             t0 = time.perf_counter()
-            while done < n:
-                dl.set_epoch(epoch)
-                epoch += 1
-                for b, _ in dl:
-                    dev = {k: jnp.asarray(v) for k, v in b.items()
-                           if k in fin_keys}
-                    fin = finalize_batch(dev,
-                                         fill_depth=cfg.data.fill_depth)
-                    inputs = assemble_inputs(
-                        fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
-                        fin["xyz_img"], labels=fin["labels"],
-                        match_idx=fin["match_idx"],
-                        visible_flag=fin["visible_flag"], RT=fin["RT"])
-                    state, metrics = compiled(state, inputs, mesh, rng)
-                    done += 1
-                    if done >= n:
-                        break
+            metrics = None
+            for inputs in DevicePrefetcher(host_batches(), stage):
+                state, metrics = compiled(state, inputs, mesh, rng)
             # real fetch: proves the queued device work ran (CLAUDE.md)
             float(jax.device_get(metrics["loss"]))
-            return (time.perf_counter() - t0), epoch
+            return (time.perf_counter() - t0), epoch_end[0]
 
         warm_batches = max(len(dl), 1)          # one epoch: HPR cache
         _, ep = run_batches(warm_batches, 0)
@@ -705,8 +775,17 @@ def main():
         "value": None,
         "unit": "frames/sec",
         "vs_baseline": None,
+        # which utilization key is load-bearing (VERDICT r3 weak 4):
+        # mfu_* collapses by construction on bandwidth-bound steps
+        # (e.g. the bf16 train step is gather-bound, so flops/peak-matmul
+        # is meaningless there) — read sol_* (fraction of the naive
+        # roofline bound) for "is this step fast"; mfu_* only says how
+        # matmul-heavy the program is.
+        "mfu_note": "sol_* is load-bearing; mfu_* is low by design on "
+                    "bandwidth-bound steps (bf16 train is gather-bound)",
     }
     watchdog = _start_watchdog(result)
+    section = _SectionTimer(result)
 
     import jax
 
@@ -732,16 +811,19 @@ def main():
     # 15 iters: single-run fps through the axon tunnel varies ~10%
     # (observed 188-206 at iters=5); longer steady-state averages it out
     eval_cost = {}
-    fps = run_on(accel, data, mesh, model, variables, mesh.xyz,
-                 iters=15, warmup=3, cost_out=eval_cost)
+    with section("eval_headline"):
+        fps = run_on(accel, data, mesh, model, variables, mesh.xyz,
+                     iters=15, warmup=3, cost_out=eval_cost)
 
     cpu = jax.devices("cpu")[0]
-    jax_cpu_fps = run_on(cpu, batch_small, mesh, model, variables,
-                         mesh.xyz, iters=1, warmup=1)
+    with section("self_cpu_baseline"):
+        jax_cpu_fps = run_on(cpu, batch_small, mesh, model, variables,
+                             mesh.xyz, iters=1, warmup=1)
 
     try:
-        ref = measure_reference_torch_cpu(
-            batch_small, jax.device_get(sample_inputs), n_mesh)
+        with section("reference_baseline"):
+            ref = measure_reference_torch_cpu(
+                batch_small, jax.device_get(sample_inputs), n_mesh)
     except Exception as e:   # torch/stub/import trouble must not cost
         print(f"reference baseline failed: {e!r}", file=sys.stderr)
         ref = None           # the headline after the TPU run already ran
@@ -775,12 +857,24 @@ def main():
             vars_bf16 = jax.jit(
                 lambda r, inp, m: model_bf16.init(r, inp, m, train=False)
             )(jax.random.PRNGKey(0), sample_inputs, mesh)
-            result["fps_bf16"] = round(run_on(
-                accel, data, mesh, model_bf16, vars_bf16, mesh.xyz,
-                iters=15, warmup=3), 3)
+            with section("eval_bf16"):
+                result["fps_bf16"] = round(run_on(
+                    accel, data, mesh, model_bf16, vars_bf16, mesh.xyz,
+                    iters=15, warmup=3), 3)
         except Exception as e:   # optional extra — never cost the headline
             result["fps_bf16"] = None
             result["fps_bf16_error"] = str(e)[:120]
+
+    # tunnel-health telemetry (VERDICT r3 item 2): H2D MB/s before the
+    # upload-sensitive sections (VSD candidate tables, train batches)
+    # and again at process end — a big pre->post drop says "tunnel
+    # degraded during this run", so a slow late section is mood, not a
+    # regression; read with section_s to locate where time went
+    try:
+        result["h2d_mbps_pre"] = h2d_probe(accel)
+    except Exception as e:
+        result["h2d_mbps_pre"] = None
+        result["h2d_probe_error"] = str(e)[:120]
 
     # VSD runs BEFORE the train/e2e/DGCNN sections: the metric is
     # upload-sensitive (host-binned candidate tables each chunk) and
@@ -790,13 +884,16 @@ def main():
     # 2026-08-20 — same code, same chip)
     if os.environ.get("GDM_BENCH_VSD", "1") != "0":
         try:
-            result["vsd_ms_per_frame_batched"] = round(
-                measure_vsd(reps=3), 2)
+            with section("vsd_friendly"):
+                result["vsd_ms_per_frame_batched"] = round(
+                    measure_vsd(reps=3), 2)
         except Exception as e:
             result["vsd_ms_per_frame_batched"] = None
             result["vsd_error"] = str(e)[:120]
         try:
-            result["vsd_ms_per_frame_hard"] = round(measure_vsd_hard(), 2)
+            with section("vsd_hard"):
+                result["vsd_ms_per_frame_hard"] = round(
+                    measure_vsd_hard(), 2)
         except Exception as e:
             result["vsd_ms_per_frame_hard"] = None
             result["vsd_hard_error"] = str(e)[:120]
@@ -808,13 +905,16 @@ def main():
     # so it closes the run
     if os.environ.get("GDM_BENCH_DGCNN", "1") != "0":
         try:
-            result["dgcnn_fps"] = round(measure_dgcnn(data, mesh_fps), 3)
+            with section("dgcnn_eval"):
+                result["dgcnn_fps"] = round(
+                    measure_dgcnn(data, mesh_fps), 3)
         except Exception as e:
             result["dgcnn_fps"] = None
             result["dgcnn_error"] = str(e)[:120]
         try:
-            result["dgcnn_train_sps_b24"] = round(
-                measure_dgcnn_train(mesh_fps), 2)
+            with section("dgcnn_train"):
+                result["dgcnn_train_sps_b24"] = round(
+                    measure_dgcnn_train(mesh_fps), 2)
         except Exception as e:
             result["dgcnn_train_sps_b24"] = None
             result["dgcnn_train_error"] = str(e)[:120]
@@ -825,9 +925,11 @@ def main():
                 ("float32", "train_sps_b24_f32", "f32"),
                 ("bfloat16", "train_sps_b24_bf16", "bf16")):
             try:
-                sps, mfu, sol = measure_train(
-                    mesh_fps, mesh, dtype=dt_name,
-                    carry=train_carry if dt_name == "float32" else None)
+                with section(f"train_{tag}"):
+                    sps, mfu, sol = measure_train(
+                        mesh_fps, mesh, dtype=dt_name,
+                        carry=train_carry if dt_name == "float32"
+                        else None)
                 result[key] = round(sps, 2)
                 result[f"mfu_train_b24_{tag}"] = mfu
                 result[f"sol_train_b24_{tag}"] = sol
@@ -839,12 +941,19 @@ def main():
             # loader-fed end-to-end throughput (input pipeline in the
             # loop; f32 step — the e2e number is host-bound anyway)
             try:
-                result["train_sps_e2e_b24"] = round(
-                    measure_train_e2e(train_carry, mesh_fps, mesh), 2)
+                with section("train_e2e"):
+                    result["train_sps_e2e_b24"] = round(
+                        measure_train_e2e(train_carry, mesh_fps, mesh), 2)
             except Exception as e:
                 result["train_sps_e2e_b24"] = None
                 result["train_e2e_error"] = str(e)[:120]
         train_carry.clear()       # release the retained state's HBM
+
+    try:
+        result["h2d_mbps_post"] = h2d_probe(accel)
+    except Exception as e:
+        result["h2d_mbps_post"] = None
+        result["h2d_probe_error"] = str(e)[:120]
 
     if watchdog is not None:
         watchdog.cancel()

@@ -425,7 +425,7 @@ def train(args):
 
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
-    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.data.loader import DataLoader, DevicePrefetcher
     from gdm_tpu.parallel import make_mesh, replicate
     from gdm_tpu.refdata import get as get_refdata
     from gdm_tpu.train import (
@@ -567,14 +567,23 @@ def train(args):
                 if jax.process_index() == 0 else None)
         notfinite_seen = 0
         rng = jax.random.PRNGKey(args.seed + 7 + cls_id)
+
+        def _stage(batch_meta):
+            """Host batch -> device inputs; runs one batch AHEAD of the
+            step in DevicePrefetcher's staging thread so the H2D waits
+            overlap device execution + loader decode (the reference's
+            DataLoader-workers-ahead-of-the-GPU-step overlap,
+            train_lm.py:399-403)."""
+            fin = _device_batch(batch_meta[0], dev_mesh,
+                                cfg.data.fill_depth)
+            return _train_inputs(fin, args.knn_chunk, needs_pyramid,
+                                 positive_r)
+
         for epoch in range(start_epoch, epochs):
             dl.set_epoch(epoch)
             t0 = time.perf_counter()
             it_prev = 0
-            for it, (batch, _) in enumerate(dl):
-                fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
-                inputs = _train_inputs(fin, args.knn_chunk, needs_pyramid,
-                                       positive_r)
+            for it, inputs in enumerate(DevicePrefetcher(dl, _stage)):
                 state, metrics = train_step(state, inputs, mesh_input, rng)
                 if it % 100 == 0:
                     m = jax.device_get(metrics)

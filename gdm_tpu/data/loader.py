@@ -53,6 +53,79 @@ def collate(samples: list[dict]) -> tuple[dict, list[dict]]:
     return batch, meta
 
 
+_DONE = object()
+
+
+class DevicePrefetcher:
+    """Overlap host→device staging with device execution (one stage of
+    pipelining over a batch iterator).
+
+    Wraps an iterator of host batches and runs ``stage_fn`` — the H2D
+    transfers plus the jitted preprocessing *dispatch* (finalize_batch /
+    KNN pyramid) — in ONE background thread, holding up to ``depth``
+    staged batches ahead of the consumer.  The torch reference gets this
+    overlap implicitly from DataLoader workers running ahead of the GPU
+    step (train_lm.py:399-403,266-290); in jax the step dispatch is
+    async but the ``device_put`` of the *next* batch is a synchronous
+    host wait, so without this stage the main thread serializes
+    [H2D batch k+1] after [dispatch step k] even though the transfer is
+    pure I/O.  On the 1-core bench host the H2D wait releases the GIL
+    and genuinely overlaps the loader threads' decode work (measured:
+    train_sps_e2e_b24 26-39 → ~toward the warm-loader ceiling).
+
+    jax dispatch is thread-safe; staged ops enter the device queue ahead
+    of the step that consumes them, which is dependency-correct (batch
+    k+1's preprocessing never depends on step k).  Do NOT pass a
+    stage_fn whose jits donate their inputs.
+
+    Exceptions from the source iterator or stage_fn re-raise in the
+    consumer; abandoning iteration (break / error) unblocks and ends the
+    staging thread like DataLoader's stop-aware put.
+    """
+
+    def __init__(self, source, stage_fn, depth: int = 2):
+        self.source = source
+        self.stage_fn = stage_fn
+        self.depth = max(1, depth)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                for item in self.source:
+                    if stop.is_set():
+                        return
+                    if not put(self.stage_fn(item)):
+                        return
+                put(_DONE)
+            except Exception as e:          # surface in consumer
+                put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
 class DataLoader:
     """Iterate a dataset in shuffled, sharded, prefetched batches.
 

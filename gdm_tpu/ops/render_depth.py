@@ -209,6 +209,53 @@ def render_depth_window(
     return jnp.where(jnp.isfinite(depth), depth, 0.0)
 
 
+def _face_tile_pairs(p: np.ndarray, valid: np.ndarray, side: int,
+                     tile: int):
+    """Shared (tile id, face id) enumeration for both binning layouts.
+
+    Encodes the tile-2px bbox invariant (subdivide_max_edge bound): a
+    valid face's bbox fits in tile-2 px, so it overlaps at most 2x2
+    grid tiles — enumerated as the bbox-min tile plus optional +1 steps
+    in x/y, with keep masks dropping duplicate steps when the bbox
+    spans a single tile column/row.  Factored out so a future fix to
+    the overlap logic cannot diverge between the dense and slot
+    layouts (ADVICE r3).
+
+    Returns:
+      (tid_s, fid_s, counts): (tile, face) pairs stable-sorted by tile,
+      and per-tile pair counts [g*g]; or None when no face is valid.
+    """
+    g = side // tile
+    assert g * tile == side, (side, tile)
+    vi = np.where(valid)[0]
+    if len(vi) == 0:
+        return None
+    pv = p[vi]
+    bmin = np.floor(pv.min(axis=1))                       # [f, 2]
+    bmax = np.floor(pv.max(axis=1))
+    tx0 = np.clip(bmin[:, 0] // tile, 0, g - 1).astype(np.int64)
+    tx1 = np.clip(bmax[:, 0] // tile, 0, g - 1).astype(np.int64)
+    ty0 = np.clip(bmin[:, 1] // tile, 0, g - 1).astype(np.int64)
+    ty1 = np.clip(bmax[:, 1] // tile, 0, g - 1).astype(np.int64)
+    pairs_t, pairs_f = [], []
+    for dy in (0, 1):
+        ty = np.minimum(ty0 + dy, ty1)
+        for dx in (0, 1):
+            tx = np.minimum(tx0 + dx, tx1)
+            keep = np.ones(len(vi), bool)
+            if dx:
+                keep &= tx1 > tx0
+            if dy:
+                keep &= ty1 > ty0
+            pairs_t.append(ty[keep] * g + tx[keep])
+            pairs_f.append(vi[keep])
+    tid = np.concatenate(pairs_t)
+    fid = np.concatenate(pairs_f)
+    counts = np.bincount(tid, minlength=g * g)
+    order = np.argsort(tid, kind="stable")
+    return tid[order], fid[order], counts
+
+
 def bin_faces_to_tiles(p: np.ndarray, valid: np.ndarray, faces: np.ndarray,
                        side: int, tile: int,
                        k_pad: int | None = None) -> np.ndarray:
@@ -233,38 +280,14 @@ def bin_faces_to_tiles(p: np.ndarray, valid: np.ndarray, faces: np.ndarray,
       is degenerate and skipped by the renderer's area test.
     """
     g = side // tile
-    assert g * tile == side, (side, tile)
-    vi = np.where(valid)[0]
-    if len(vi) == 0:
+    pairs = _face_tile_pairs(p, valid, side, tile)
+    if pairs is None:
         return np.zeros((g * g, k_pad or 1, 3), np.int32)
-    pv = p[vi]
-    bmin = np.floor(pv.min(axis=1))                       # [f, 2]
-    bmax = np.floor(pv.max(axis=1))
-    tx0 = np.clip(bmin[:, 0] // tile, 0, g - 1).astype(np.int64)
-    tx1 = np.clip(bmax[:, 0] // tile, 0, g - 1).astype(np.int64)
-    ty0 = np.clip(bmin[:, 1] // tile, 0, g - 1).astype(np.int64)
-    ty1 = np.clip(bmax[:, 1] // tile, 0, g - 1).astype(np.int64)
-    pairs_t, pairs_f = [], []
-    for dy in (0, 1):
-        ty = np.minimum(ty0 + dy, ty1)
-        for dx in (0, 1):
-            tx = np.minimum(tx0 + dx, tx1)
-            keep = np.ones(len(vi), bool)
-            if dx:
-                keep &= tx1 > tx0
-            if dy:
-                keep &= ty1 > ty0
-            pairs_t.append(ty[keep] * g + tx[keep])
-            pairs_f.append(vi[keep])
-    tid = np.concatenate(pairs_t)
-    fid = np.concatenate(pairs_f)
-    counts = np.bincount(tid, minlength=g * g)
+    tid_s, fid_s, counts = pairs
     k = int(counts.max())
     if k_pad is not None:
         assert k_pad >= k, (k_pad, k)
         k = k_pad
-    order = np.argsort(tid, kind="stable")
-    tid_s, fid_s = tid[order], fid[order]
     starts = np.zeros(g * g + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     slot = np.arange(len(tid_s)) - starts[tid_s]
@@ -298,35 +321,11 @@ def bin_faces_to_slots(p: np.ndarray, valid: np.ndarray,
       window.
     """
     g = side // tile
-    assert g * tile == side, (side, tile)
-    vi = np.where(valid)[0]
-    if len(vi) == 0:
+    pairs = _face_tile_pairs(p, valid, side, tile)
+    if pairs is None:
         return (np.zeros((1, k_cap, 3), np.int32),
                 np.zeros((1,), np.int32))
-    pv = p[vi]
-    bmin = np.floor(pv.min(axis=1))
-    bmax = np.floor(pv.max(axis=1))
-    tx0 = np.clip(bmin[:, 0] // tile, 0, g - 1).astype(np.int64)
-    tx1 = np.clip(bmax[:, 0] // tile, 0, g - 1).astype(np.int64)
-    ty0 = np.clip(bmin[:, 1] // tile, 0, g - 1).astype(np.int64)
-    ty1 = np.clip(bmax[:, 1] // tile, 0, g - 1).astype(np.int64)
-    pairs_t, pairs_f = [], []
-    for dy in (0, 1):
-        ty = np.minimum(ty0 + dy, ty1)
-        for dx in (0, 1):
-            tx = np.minimum(tx0 + dx, tx1)
-            keep = np.ones(len(vi), bool)
-            if dx:
-                keep &= tx1 > tx0
-            if dy:
-                keep &= ty1 > ty0
-            pairs_t.append(ty[keep] * g + tx[keep])
-            pairs_f.append(vi[keep])
-    tid = np.concatenate(pairs_t)
-    fid = np.concatenate(pairs_f)
-    counts = np.bincount(tid, minlength=g * g)           # [G]
-    order = np.argsort(tid, kind="stable")
-    tid_s, fid_s = tid[order], fid[order]
+    tid_s, fid_s, counts = pairs
     starts = np.zeros(g * g + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     within = np.arange(len(tid_s)) - starts[tid_s]       # pos in tile
@@ -376,8 +375,11 @@ def render_depth_window_gather(
         with `slot_tile` — [S, k, 3] slot rows (bin_faces_to_slots).
       K / origin / window / tile: as in render_depth_window; window
         sides must be multiples of `tile`.
-      cand_chunk: candidates reduced per scan step — bounds the live
-        [G, chunk, tile^2] temporary.
+      cand_chunk: memory knob.  Dense layout: candidates reduced per
+        scan step (live temp [G, chunk, tile^2]).  Slot layout: sets
+        the row-block size rc = 64*cand_chunk/k_cap so the live temp
+        is [rc, k_cap, tile^2] (~64 MB f32 at the defaults),
+        independent of the total slot-row count S.
       slot_tile: optional [S] int32 tile id per candidate row
         (bin_faces_to_slots layout: fixed row capacity, dense tiles
         span several rows).  Rows of the same tile min-combine via a
@@ -403,41 +405,27 @@ def render_depth_window_gather(
 
     rows = cand.shape[0]
     kc = cand.shape[1]
-    chunk = min(cand_chunk, kc)
-    pad = (-kc) % chunk
-    if pad:
-        cand = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)))
-    nc = (kc + pad) // chunk
-    cand = cand.reshape(rows, nc, chunk, 3).transpose(1, 0, 2, 3)
-
-    # per-row pixel-centre coordinates [rows, s]: row-major tile id
-    # from iota (dense layout) or from the slot->tile map
-    if slot_tile is None:
-        tg = jax.lax.broadcasted_iota(jnp.int32, (rows, s), 0)
-    else:
-        tg = jnp.broadcast_to(slot_tile[:, None], (rows, s))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, s), 1)
-    sx = ((tg % gx) * tile + lane % tile).astype(jnp.float32) + 0.5
-    sy = ((tg // gx) * tile + lane // tile).astype(jnp.float32) + 0.5
     big = jnp.asarray(jnp.inf, jnp.float32)
 
-    def body(acc, cand_c):                                # [G, chunk, 3]
-        p = pix[cand_c]                                   # [G, chunk, 3, 2]
-        fz = z[cand_c]                                    # [G, chunk, 3]
+    def tri_min(cand_c, sxp, syp):
+        """Min candidate depth per (row, pixel): cand_c [R, k, 3] +
+        pixel centres sxp/syp [R, s] -> [R, s]."""
+        p = pix[cand_c]                                   # [R, k, 3, 2]
+        fz = z[cand_c]                                    # [R, k, 3]
         front = jnp.all(fz > eps, axis=-1)
         d01 = p[:, :, 1] - p[:, :, 0]
         d02 = p[:, :, 2] - p[:, :, 0]
         area = d01[..., 0] * d02[..., 1] - d01[..., 1] * d02[..., 0]
-        ok = front & (jnp.abs(area) > eps)                # [G, chunk]
+        ok = front & (jnp.abs(area) > eps)                # [R, k]
         inv_a = 1.0 / jnp.where(jnp.abs(area) > eps, area, 1.0)
 
         def edge(a, b):
             ax, ay = p[:, :, a, 0:1], p[:, :, a, 1:2]
             bx, by = p[:, :, b, 0:1], p[:, :, b, 1:2]
-            return ((bx - ax) * (sy[:, None, :] - ay)
-                    - (by - ay) * (sx[:, None, :] - ax))
+            return ((bx - ax) * (syp[:, None, :] - ay)
+                    - (by - ay) * (sxp[:, None, :] - ax))
 
-        b0 = edge(1, 2) * inv_a[..., None]                # [G, chunk, s]
+        b0 = edge(1, 2) * inv_a[..., None]                # [R, k, s]
         b1 = edge(2, 0) * inv_a[..., None]
         b2 = edge(0, 1) * inv_a[..., None]
         inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
@@ -445,11 +433,54 @@ def render_depth_window_gather(
                 + b2 / fz[..., 2:3])
         zpix = 1.0 / jnp.maximum(invz, eps)
         valid = inside & ok[..., None] & (zpix > eps)
-        zval = jnp.where(valid, zpix, big)
-        return jnp.minimum(acc, jnp.min(zval, axis=1)), None
+        return jnp.min(jnp.where(valid, zpix, big), axis=1)
 
-    acc0 = jnp.full((rows, s), big, jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, cand)
+    def row_coords(tg):
+        """Pixel-centre window coords for per-row tile ids [R, s]."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, tg.shape, 1)
+        sx = ((tg % gx) * tile + lane % tile).astype(jnp.float32) + 0.5
+        sy = ((tg // gx) * tile + lane // tile).astype(jnp.float32) + 0.5
+        return sx, sy
+
+    if slot_tile is None:
+        # dense layout: rows == G is fixed but per-tile k can be huge ->
+        # scanning k-axis chunks bounds the live temp to [G, chunk, s]
+        chunk = min(cand_chunk, kc)
+        pad = (-kc) % chunk
+        if pad:
+            cand = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)))
+        nc = (kc + pad) // chunk
+        cand = cand.reshape(rows, nc, chunk, 3).transpose(1, 0, 2, 3)
+        tg = jax.lax.broadcasted_iota(jnp.int32, (rows, s), 0)
+        sx, sy = row_coords(tg)
+        acc0 = jnp.full((rows, s), big, jnp.float32)
+        acc, _ = jax.lax.scan(
+            lambda a, c: (jnp.minimum(a, tri_min(c, sx, sy)), None),
+            acc0, cand)
+    else:
+        # slot layout: per-row k == k_cap is SMALL, but the row count S
+        # grows with the total candidate count — a k-axis scan would be
+        # one unbounded [S, k_cap, s] step (ADVICE r3).  Map over ROW
+        # blocks instead: live temp [rc, k_cap, s], independent of S.
+        # rc sized so rc * k_cap ~ 64 * cand_chunk (64 MB f32 at the
+        # defaults) whatever k_cap the caller picked.
+        rc = min(rows, max(1, (cand_chunk * 64) // kc))
+        rpad = (-rows) % rc
+        if rpad:
+            # padding rows carry the G sentinel: the combine scatter
+            # below routes them to the dropped extra row
+            cand = jnp.pad(cand, ((0, rpad), (0, 0), (0, 0)))
+            slot_tile = jnp.pad(slot_tile, (0, rpad),
+                                constant_values=G)
+        rows_p = rows + rpad
+        tg = jnp.broadcast_to(slot_tile[:, None], (rows_p, s))
+        sx, sy = row_coords(tg)
+        nb = rows_p // rc
+        acc = jax.lax.map(
+            lambda b: tri_min(*b),
+            (cand.reshape(nb, rc, kc, 3),
+             sx.reshape(nb, rc, s), sy.reshape(nb, rc, s))
+        ).reshape(rows_p, s)
     if slot_tile is not None:
         # min-combine slot rows of the same tile: an S-row scatter-min
         # of s-wide rows (a few thousand updates — negligible next to

@@ -530,6 +530,52 @@ class TestLoaderRobustness:
         assert any(not np.array_equal(a[0][k], c[0][k]) for k in a[0])
 
 
+class TestDevicePrefetcher:
+    """The host→device staging pipeline stage used by `cli train` and
+    bench.measure_train_e2e (overlaps H2D + preprocessing dispatch with
+    device execution)."""
+
+    def test_order_and_completeness(self):
+        from gdm_tpu.data.loader import DevicePrefetcher
+
+        src = list(range(23))
+        out = list(DevicePrefetcher(src, lambda x: x * x, depth=3))
+        assert out == [x * x for x in src]
+
+    def test_stage_exception_propagates(self):
+        from gdm_tpu.data.loader import DevicePrefetcher
+
+        def stage(x):
+            if x == 4:
+                raise ValueError("boom")
+            return x
+
+        got = []
+        with pytest.raises(ValueError, match="boom"):
+            for v in DevicePrefetcher(range(10), stage, depth=2):
+                got.append(v)
+        assert got == [0, 1, 2, 3]
+
+    def test_early_break_ends_staging_thread(self):
+        import threading
+        import time as _t
+
+        from gdm_tpu.data.loader import DevicePrefetcher
+
+        before = set(threading.enumerate())
+        it = iter(DevicePrefetcher(range(1000), lambda x: x, depth=1))
+        assert next(it) == 0
+        it.close()                       # abandon -> finally sets stop
+        deadline = _t.time() + 10.0
+        while _t.time() < deadline:
+            leaked = [t for t in set(threading.enumerate()) - before
+                      if t.is_alive()]
+            if not leaked:
+                break
+            _t.sleep(0.1)
+        assert not leaked, f"staging thread still alive: {leaked}"
+
+
 class TestNormalEstimate:
     def test_sphere_normals_radial(self, tmp_path):
         """PLYs without stored normals get true unit surface normals
