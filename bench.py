@@ -471,7 +471,7 @@ def measure_train(mesh_fps, mesh, batch=24, im=256, n_sample=4096,
 
 
 def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
-                      num_workers=2, seed=0):
+                      num_workers=2, seed=0, prefetch=False):
     """END-TO-END train samples/sec with the INPUT PIPELINE IN THE LOOP
     (VERDICT r2 item 1).
 
@@ -518,14 +518,23 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
                          rng=np.random.RandomState(seed))
         dl = DataLoader(ds, batch, shuffle=True, drop_last=True,
                         num_workers=num_workers, seed=seed)
-        fin_keys = ("rgb_u8", "dpt_m", "dpt_filled", "K_crop", "choose",
+        fin_keys = ["rgb_u8", "dpt_m", "K_crop", "choose",
                     "labels", "origin_labels", "match_idx",
-                    "visible_flag", "RT")
+                    "visible_flag", "RT"]
+        if cfg.data.fill_depth:
+            # finalize reads dpt_filled only when filling; skipping it
+            # otherwise cuts 1/3 of per-batch H2D bytes (cli.py
+            # _device_batch note) — the binding resource through the
+            # tunnel (measured 17-53 MB/s vs 19 MB/batch, 2026-08-20)
+            fin_keys.append("dpt_filled")
 
         def stage(b):
-            """H2D + finalize/pyramid dispatch for one host batch; runs
-            in DevicePrefetcher's staging thread one batch ahead of the
-            step — the same overlap `cli train` now uses."""
+            """H2D + finalize/pyramid dispatch for one host batch.
+            Direct (prefetch=False, the cli train layout): jax async
+            dispatch already overlaps these puts with the device's
+            previous step; a DevicePrefetcher staging thread
+            (prefetch=True, kept for A/B) measured WORSE on the 1-core
+            host — 18.8-37.5 vs 47.4 sps direct (2026-08-20)."""
             dev = {k: jnp.asarray(v) for k, v in b.items()
                    if k in fin_keys}
             fin = finalize_batch(dev, fill_depth=cfg.data.fill_depth)
@@ -553,7 +562,9 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
 
             t0 = time.perf_counter()
             metrics = None
-            for inputs in DevicePrefetcher(host_batches(), stage):
+            stream = (DevicePrefetcher(host_batches(), stage) if prefetch
+                      else map(stage, host_batches()))
+            for inputs in stream:
                 state, metrics = compiled(state, inputs, mesh, rng)
             # real fetch: proves the queued device work ran (CLAUDE.md)
             float(jax.device_get(metrics["loss"]))
@@ -948,6 +959,25 @@ def main():
                 result["train_sps_e2e_b24"] = None
                 result["train_e2e_error"] = str(e)[:120]
         train_carry.clear()       # release the retained state's HBM
+
+    # lmfull-shape training (VERDICT r3 item 3): the reference's other
+    # trained config — 12,800 sample points, 128^2 crops
+    # (/root/reference/config/lmfull_cfg.py:76,78), b=6 = the lmfull
+    # preset's train batch.  The train-side circle-loss tensor is
+    # [B*12800, 4097] — the framework's own long-sequence case, until
+    # round 4 eval-only.  GDM_BENCH_LMFULL=0 skips (one extra compile).
+    if os.environ.get("GDM_BENCH_LMFULL", "1") != "0":
+        try:
+            with section("train_lmfull"):
+                sps, mfu, sol = measure_train(
+                    mesh_fps, mesh, batch=6, im=128, n_sample=12800,
+                    steps=8)
+            result["train_sps_lmfull_b6"] = round(sps, 2)
+            result["mfu_train_lmfull_b6"] = mfu
+            result["sol_train_lmfull_b6"] = sol
+        except Exception as e:
+            result["train_sps_lmfull_b6"] = None
+            result["train_lmfull_error"] = str(e)[:120]
 
     try:
         result["h2d_mbps_post"] = h2d_probe(accel)

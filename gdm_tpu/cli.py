@@ -88,16 +88,27 @@ def _build_object_setup(cfg, refd, cls_id, data_root):
         graph)
 
 
-def _make_model(cfg, diameter_m, mesh_fps, mesh_arr, exact_knn=False):
+def _make_model(cfg, diameter_m, mesh_fps, mesh_arr, exact_knn=False,
+                sp_mesh=None):
     """(model, mesh_input, mesh_xyz, needs_pyramid) for the configured
     backbone — 'randla_spline' (flagship) or 'dgcnn' (config 5).
 
     `exact_knn` (the eval/infer/export --exact-knn flag) forces exact
     edge-conv graphs on the dgcnn backbone, like it forces the exact
-    KNN pyramid on the flagship."""
+    KNN pyramid on the flagship.
+
+    `sp_mesh` (train --model-shards): a 2-D ('data', 'model') Mesh —
+    routes the train matching loss through
+    parallel.sp.sharded_matching_loss so the [B*N, M] similarity/loss
+    tensor is sharded over the model axis (the memory-limiting tensor
+    at lmfull shapes, SURVEY §2d)."""
     import jax.numpy as jnp
 
     if cfg.model.backbone == "dgcnn":
+        if sp_mesh is not None:
+            raise SystemExit("--model-shards training requires the "
+                             "randla_spline backbone (the dgcnn loss "
+                             "uses depth-scaled radii; unsharded)")
         from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
         from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
 
@@ -115,10 +126,19 @@ def _make_model(cfg, diameter_m, mesh_fps, mesh_arr, exact_knn=False):
     from gdm_tpu.models.randla import set_gather_bwd_dtype
 
     set_gather_bwd_dtype(cfg.model.gather_bwd_dtype)
+    matching_loss_fn = None
+    if sp_mesh is not None:
+        from gdm_tpu.parallel.sp import sharded_matching_loss
+
+        def matching_loss_fn(rgbd, mf, mxyz, lab, midx, vis, pr, sym):
+            return sharded_matching_loss(
+                rgbd, mf, mxyz, lab, midx, vis, pr, sp_mesh,
+                sym_idx=sym)
     model = GeoMatch(
         feat_dim=cfg.model.feat_dim,
         positive_r=cfg.model.neighbor_dis_th * diameter_m,
-        compute_dtype=jnp.dtype(cfg.model.compute_dtype))
+        compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+        matching_loss_fn=matching_loss_fn)
     return model, mesh_arr, mesh_arr.xyz, True
 
 
@@ -292,8 +312,14 @@ def _device_batch(batch, mesh_dev, fill_depth):
     from gdm_tpu.data.pipeline import finalize_batch
     from gdm_tpu.parallel import shard_batch
 
-    keys = ("rgb_u8", "dpt_m", "dpt_filled", "K_crop", "choose", "labels",
-            "origin_labels", "match_idx", "visible_flag", "RT", "det")
+    keys = ["rgb_u8", "dpt_m", "K_crop", "choose", "labels",
+            "origin_labels", "match_idx", "visible_flag", "RT", "det"]
+    if fill_depth:
+        # finalize_batch reads dpt_filled only when filling; skipping it
+        # otherwise saves 1/3 of the per-batch H2D bytes (6.3 of 19 MB
+        # at b=24 — the loader duplicates dpt_m into dpt_filled), which
+        # is the binding resource through the tunneled chip's H2D path
+        keys.append("dpt_filled")
     dev = {k: jnp.asarray(batch[k]) for k in keys if k in batch}
     dev = shard_batch(dev, mesh_dev)
     return finalize_batch(dev, fill_depth=fill_depth)
@@ -425,8 +451,8 @@ def train(args):
 
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
-    from gdm_tpu.data.loader import DataLoader, DevicePrefetcher
-    from gdm_tpu.parallel import make_mesh, replicate
+    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.parallel import replicate
     from gdm_tpu.refdata import get as get_refdata
     from gdm_tpu.train import (
         bn_momentum_schedule,
@@ -450,11 +476,14 @@ def train(args):
     cls_ids = (list(cfg.data.obj_ids) if args.cls_id == "all"
                else [int(args.cls_id)])
 
-    dev_mesh = make_mesh(_select_devices(args))
-    n_dev = dev_mesh.devices.size
+    # --model-shards N>1 gives a 2-D (data, model) mesh: batch rows
+    # shard over 'data', the matching-loss mesh columns over 'model'
+    dev_mesh, model_shards = _make_run_mesh(args, batch_size)
+    n_dev = dev_mesh.shape["data"]      # data-parallel batch divisor
     if batch_size % n_dev:
         raise SystemExit(
-            f"batch {batch_size} not divisible by {n_dev} devices")
+            f"batch {batch_size} not divisible by the data-axis size "
+            f"{n_dev}")
     bnm = bn_momentum_schedule(sol.bn_momentum, sol.bn_decay,
                                sol.bn_decay_step, batch_size,
                                sol.bn_momentum_clip)
@@ -494,7 +523,8 @@ def train(args):
         log.info("%d samples, %d steps/epoch", len(ds), len(dl))
 
         model_i, mesh_input, mesh_xyz, needs_pyramid = _make_model(
-            cfg, diameter_m, mesh_fps, mesh_arr)
+            cfg, diameter_m, mesh_fps, mesh_arr,
+            sp_mesh=dev_mesh if model_shards > 1 else None)
         if model is None:
             model = model_i
         val_ctx = None
@@ -568,22 +598,24 @@ def train(args):
         notfinite_seen = 0
         rng = jax.random.PRNGKey(args.seed + 7 + cls_id)
 
-        def _stage(batch_meta):
-            """Host batch -> device inputs; runs one batch AHEAD of the
-            step in DevicePrefetcher's staging thread so the H2D waits
-            overlap device execution + loader decode (the reference's
-            DataLoader-workers-ahead-of-the-GPU-step overlap,
-            train_lm.py:399-403)."""
-            fin = _device_batch(batch_meta[0], dev_mesh,
-                                cfg.data.fill_depth)
-            return _train_inputs(fin, args.knn_chunk, needs_pyramid,
-                                 positive_r)
-
+        # staging is DIRECT on the main thread: jax dispatch is async,
+        # so the H2D puts + finalize/pyramid dispatches below already
+        # overlap device execution of the previous step.  An explicit
+        # staging thread (DevicePrefetcher) was A/B-measured WORSE on
+        # the 1-core tunnel host — e2e 18.8-37.5 sps threaded vs 47.4
+        # direct (2026-08-20): a second dispatching thread only
+        # contends with the loader pool for the core and the tunnel
+        # client.  The reference needs DataLoader workers running ahead
+        # of the GPU step (train_lm.py:399-403) because torch dispatch
+        # blocks; here the runtime's async queue IS the double buffer.
         for epoch in range(start_epoch, epochs):
             dl.set_epoch(epoch)
             t0 = time.perf_counter()
             it_prev = 0
-            for it, inputs in enumerate(DevicePrefetcher(dl, _stage)):
+            for it, (batch, _) in enumerate(dl):
+                fin = _device_batch(batch, dev_mesh, cfg.data.fill_depth)
+                inputs = _train_inputs(fin, args.knn_chunk,
+                                       needs_pyramid, positive_r)
                 state, metrics = train_step(state, inputs, mesh_input, rng)
                 if it % 100 == 0:
                     m = jax.device_get(metrics)
@@ -618,11 +650,14 @@ def train(args):
                         })
                     t0 = time.perf_counter()
                     it_prev = it + 1
-            if jax.process_index() == 0 and (
-                    (epoch + 1) % sol.checkpoint_every_epochs == 0
+            if ((epoch + 1) % sol.checkpoint_every_epochs == 0
                     or epoch + 1 == epochs):
+                # collective: EVERY process calls save (orbax writes
+                # per-process shards; rank-0-only saves leave missing
+                # chunks — see train/checkpoint.py)
                 path = save_checkpoint(state, ckpt_dir, epoch)
-                log.info("checkpoint -> %s", path)
+                if jax.process_index() == 0:
+                    log.info("checkpoint -> %s", path)
             if val_ctx is not None and (
                     (epoch + 1) % args.eval_every == 0
                     or epoch + 1 == epochs):
@@ -845,6 +880,207 @@ def evaluate(args):
     return None
 
 
+def _write_infer_csv(rows, args, log):
+    """BOP-format results CSV shared by the per-object and stacked
+    infer paths; rows = (file_name, obj_id, pose [3,4] m, dt_seconds)."""
+    import os
+
+    if not rows:
+        raise SystemExit("nothing inferred (no detections matched)")
+    out_csv = args.output or osp.join(
+        "output", f"infer_{args.dataset}.csv")
+    os.makedirs(osp.dirname(osp.abspath(out_csv)), exist_ok=True)
+    lines = ["scene_id,im_id,obj_id,score,R,t,time"]
+    for file_name, obj_id, pose, dt in rows:
+        scene_s, im_s = file_name.split("/")[:2]
+        R, t_mm = pose[:, :3], pose[:, 3] * 1000.0
+        lines.append(
+            f"{int(scene_s)},{int(im_s)},{obj_id},-1,"
+            f"{' '.join(map(str, R.flatten().tolist()))},"
+            f"{' '.join(map(str, t_mm.flatten().tolist()))},"
+            f"{dt:.6f}")
+    with open(out_csv, "w") as f:
+        f.write("\n".join(lines))
+    log.info("%d predictions -> %s", len(rows), out_csv)
+    return {"csv": out_csv, "n": len(rows)}
+
+
+class _MixedInferDataset:
+    """Round-robin interleave of several per-object infer datasets, so
+    consecutive batches MIX object classes (the stacked-routing
+    workload).  Each sample gains `obj_pos`, its position in the
+    stacked object axis."""
+
+    def __init__(self, parts):
+        self.parts = parts
+        self.order = [(p, i)
+                      for i in range(max(len(ds) for _, ds in parts))
+                      for p, (_, ds) in enumerate(parts)
+                      if i < len(ds)]
+
+    def __len__(self):
+        return len(self.order)
+
+    def __getitem__(self, k):
+        p, i = self.order[k]
+        s = dict(self.parts[p][1][i])
+        s["obj_pos"] = np.int32(p)
+        return s
+
+
+def _infer_stacked(args):
+    """`infer --stacked`: mixed-class batches through the vmap-stacked
+    multi-model path (eval/multimodel.py) — ONE jit serves every
+    object; each batch element dynamic-slices its own object's weights
+    and mesh constants by detected class.
+
+    Reference analogue: cal_result_multimodel (train_lm.py:298-314)
+    runs a python dict of per-object models one bs=1 forward at a time.
+    The default per-object infer loop (reference semantics, ~4.5x
+    faster when frames CAN be grouped by object) stays the default;
+    this mode is for streams where grouping is impossible (e.g. a live
+    feed of mixed detections).  Single-process, randla_spline backbone,
+    no --refine (poses come from the standard masked-Kabsch fit).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.configs.base import get_config
+    from gdm_tpu.data.dataset import PoseDataset
+    from gdm_tpu.data.loader import DataLoader
+    from gdm_tpu.data.pipeline import assemble_inputs
+    from gdm_tpu.eval.multimodel import make_multi_model_infer, \
+        stack_trees
+    from gdm_tpu.models.geomatch import MeshArrays
+    from gdm_tpu.refdata import get as get_refdata
+    from gdm_tpu.train import (
+        create_train_state,
+        load_checkpoint,
+        make_optimizer,
+    )
+    from gdm_tpu.train.import_torch import load_torch_reference_checkpoint
+    from gdm_tpu.utils.logging import get_logger
+
+    log = get_logger("infer")
+    if args.multihost or jax.process_count() > 1:
+        raise SystemExit("--stacked is single-process (use the default "
+                         "per-object loop for multihost runs)")
+    if args.refine:
+        raise SystemExit("--stacked does not support --refine")
+    if getattr(args, "model_shards", 1) > 1:
+        raise SystemExit("--stacked and --model-shards are exclusive")
+    cfg = get_config(args.dataset, args.opt)
+    if cfg.model.backbone != "randla_spline":
+        raise SystemExit("--stacked requires the randla_spline backbone")
+    refd = get_refdata(args.dataset)
+    batch_size = args.batch_size or cfg.solver.val_batch_size
+    cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
+    targets = _load_targets(args.targets) if args.targets else None
+
+    # per-object setup: dataset + mesh graph + checkpointed variables
+    parts, meshes, all_vars = [], [], []
+    model = None
+    state_template = None
+    raw_keys = {"rgb_u8", "dpt_m", "K_crop", "choose", "det"}
+    if cfg.data.fill_depth:     # see _device_batch: upload only if read
+        raw_keys.add("dpt_filled")
+    for cls_id in cls_ids:
+        obj_name, diameter_m, mesh_fps, _, mesh_arr = _build_object_setup(
+            cfg, refd, cls_id, args.data_root)
+        ds = PoseDataset(cfg, cls_id, "infer", diameter_m=diameter_m,
+                         data_root=args.data_root,
+                         detections_file=args.detections)
+        if targets is not None:
+            ds.annos = _filter_targets(ds.annos, targets, cls_id)
+        if len(ds) == 0:
+            log.warning("no detections for %s", obj_name)
+            continue
+        model_i, mesh_input, _, needs_pyramid = _make_model(
+            cfg, diameter_m, mesh_fps, mesh_arr, exact_knn=args.exact_knn)
+        if model is None:
+            model = model_i
+        if state_template is None:
+            from gdm_tpu.data.loader import collate
+            from gdm_tpu.data.pipeline import finalize_batch
+
+            batch0, _ = collate([ds[0]] * batch_size)
+            # the template init runs train=True (losses traced), so it
+            # needs the infer-mode GT placeholder keys too
+            dev0 = {k: jnp.asarray(v) for k, v in batch0.items()
+                    if k in raw_keys or k in (
+                        "labels", "origin_labels", "match_idx",
+                        "visible_flag", "RT")}
+            fin0 = finalize_batch(dev0, fill_depth=cfg.data.fill_depth)
+            sample_inputs = _train_inputs(fin0, args.knn_chunk,
+                                          needs_pyramid)
+            state_template = create_train_state(
+                model, jax.random.PRNGKey(0), sample_inputs, mesh_input,
+                lambda _: 1e-4,
+                tx=make_optimizer(lambda _: 1e-4,
+                                  cfg.solver.weight_decay,
+                                  cfg.solver.skip_nonfinite))
+        state = state_template
+        if args.torch_checkpoint:
+            state = load_torch_reference_checkpoint(
+                state, osp.join(args.torch_checkpoint, obj_name))
+        else:
+            state, ep = load_checkpoint(
+                state, osp.join(args.ckpt_root, "checkpoints", obj_name))
+            if ep is None:
+                log.warning("no checkpoint for %s — untrained weights",
+                            obj_name)
+        all_vars.append({"params": state.params,
+                         "batch_stats": state.batch_stats})
+        # sym_idx is a loss-only field; keep the stacked mesh uniform
+        meshes.append(mesh_arr._replace(sym_idx=None))
+        parts.append((cls_id, ds))
+    if not parts:
+        raise SystemExit("nothing inferred (no detections matched)")
+
+    stacked_vars = stack_trees(all_vars)
+    stacked_mesh = MeshArrays(
+        *[jnp.stack([jnp.asarray(getattr(m, f)) for m in meshes])
+          for f in ("xyz", "node_x", "neigh_idx", "basis", "slot")],
+        sym_idx=None)
+    infer_fn = make_multi_model_infer(model)
+    mixed = _MixedInferDataset(parts)
+    dl = DataLoader(mixed, batch_size, shuffle=False, drop_last=False,
+                    num_workers=args.num_workers,
+                    workers=args.loader_workers)
+
+    rows = []
+    warm = False
+    for batch, meta in dl:
+        n_real = batch["rgb_u8"].shape[0]
+        batch = _pad_batch(batch, batch_size)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()
+               if k in raw_keys}
+        from gdm_tpu.data.pipeline import finalize_batch
+
+        fin = finalize_batch(dev, fill_depth=cfg.data.fill_depth)
+        inputs = assemble_inputs(
+            fin["rgb"], fin["cld_rgb_nrm"], fin["choose"],
+            fin["xyz_img"], knn_chunk=args.knn_chunk,
+            approx=not args.exact_knn)
+        cld = fin["cld_rgb_nrm"][..., :3]
+        obj_idx = jnp.asarray(batch["obj_pos"].astype(np.int32))
+        det = (fin["det"].astype(jnp.float32) if "det" in fin
+               else jnp.ones((batch_size,), jnp.float32))
+        call = lambda: infer_fn(stacked_vars, stacked_mesh, inputs, cld,
+                                obj_idx, det)
+        if not warm:      # absorb the one compile; CSV times = compute
+            np.asarray(call())
+            warm = True
+        t0 = time.perf_counter()
+        poses = np.asarray(call())
+        dt = (time.perf_counter() - t0) / batch_size
+        for i in range(n_real):
+            rows.append((meta[i]["file_name"],
+                         parts[int(batch["obj_pos"][i])][0],
+                         np.asarray(poses[i], np.float64), dt))
+    return _write_infer_csv(rows, args, log)
+
+
 def infer(args):
     """GT-less deployment inference: frames + detections -> results CSV.
 
@@ -855,8 +1091,14 @@ def infer(args):
     and writes the same BOP-format results CSV `eval` produces — which
     `cli score` can re-score later once GT is available (deploy now,
     audit later).
+
+    `--stacked` routes MIXED-class batches through the vmap-stacked
+    multi-model path instead of this per-object loop (_infer_stacked).
     """
     import jax
+
+    if getattr(args, "stacked", False):
+        return _infer_stacked(args)
 
     from gdm_tpu.configs.base import get_config
     from gdm_tpu.data.dataset import PoseDataset
@@ -987,26 +1229,7 @@ def infer(args):
         rows = [r for sub in all_gather_host(rows) for r in sub]
     if jax.process_index() != 0:
         return None
-    if not rows:
-        raise SystemExit("nothing inferred (no detections matched)")
-    out_csv = args.output or osp.join(
-        "output", f"infer_{args.dataset}.csv")
-    import os
-
-    os.makedirs(osp.dirname(osp.abspath(out_csv)), exist_ok=True)
-    lines = ["scene_id,im_id,obj_id,score,R,t,time"]
-    for file_name, obj_id, pose, dt in rows:
-        scene_s, im_s = file_name.split("/")[:2]
-        R, t_mm = pose[:, :3], pose[:, 3] * 1000.0
-        lines.append(
-            f"{int(scene_s)},{int(im_s)},{obj_id},-1,"
-            f"{' '.join(map(str, R.flatten().tolist()))},"
-            f"{' '.join(map(str, t_mm.flatten().tolist()))},"
-            f"{dt:.6f}")
-    with open(out_csv, "w") as f:
-        f.write("\n".join(lines))
-    log.info("%d predictions -> %s", len(rows), out_csv)
-    return {"csv": out_csv, "n": len(rows)}
+    return _write_infer_csv(rows, args, log)
 
 
 def score(args):
@@ -1296,6 +1519,12 @@ def build_parser():
                         "(ADD(-S) recall@0.1d + VOC AUC, logged to the "
                         "console and the metrics JSONL; single-host "
                         "only; skipped when no test split exists)")
+    t.add_argument("--model-shards", type=int, default=1,
+                   help="shard the matching-loss mesh columns over a "
+                        "'model' mesh axis of this size (2-D (data, "
+                        "model) mesh; bounds the [B*N, M] similarity "
+                        "tensor per chip — the memory limit at lmfull "
+                        "shapes; randla_spline backbone only)")
 
     e = sub.add_parser("eval", help="evaluate checkpoints on the test set")
     common(e)
@@ -1358,6 +1587,12 @@ def build_parser():
     i.add_argument("--targets", default=None,
                    help="BOP test-targets JSON — infer only the listed "
                         "(scene, im, obj) instances")
+    i.add_argument("--stacked", action="store_true",
+                   help="route MIXED-class batches through the "
+                        "vmap-stacked multi-model path (one jit serves "
+                        "every object; eval/multimodel.py) instead of "
+                        "the per-object loop — for streams where "
+                        "grouping frames by object is impossible")
     i.add_argument("--model-shards", type=int, default=1,
                    help="shard the similarity argmax's mesh columns "
                         "over a 'model' mesh axis of this size")

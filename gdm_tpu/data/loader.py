@@ -57,30 +57,28 @@ _DONE = object()
 
 
 class DevicePrefetcher:
-    """Overlap host→device staging with device execution (one stage of
-    pipelining over a batch iterator).
+    """Run a staging function one batch ahead of the consumer in a
+    background thread (bounded queue).
 
-    Wraps an iterator of host batches and runs ``stage_fn`` — the H2D
-    transfers plus the jitted preprocessing *dispatch* (finalize_batch /
-    KNN pyramid) — in ONE background thread, holding up to ``depth``
-    staged batches ahead of the consumer.  The torch reference gets this
-    overlap implicitly from DataLoader workers running ahead of the GPU
-    step (train_lm.py:399-403,266-290); in jax the step dispatch is
-    async but the ``device_put`` of the *next* batch is a synchronous
-    host wait, so without this stage the main thread serializes
-    [H2D batch k+1] after [dispatch step k] even though the transfer is
-    pure I/O.  On the 1-core bench host the H2D wait releases the GIL
-    and genuinely overlaps the loader threads' decode work (measured:
-    train_sps_e2e_b24 26-39 → ~toward the warm-loader ceiling).
+    MEASURED NOT-A-WIN for its original purpose (overlapping H2D +
+    preprocessing dispatch with the train step, VERDICT r3 item 1):
+    jax dispatch — including ``device_put`` — is ASYNC, so the direct
+    main-thread staging in `cli train` already overlaps transfers with
+    the device's previous step; adding this thread on the 1-core
+    tunnel host only contended for the core and the tunnel client
+    (e2e train A/B 2026-08-20: 18.8-37.5 sps threaded vs 47.4 direct —
+    the actual e2e win was cutting uploaded bytes, see
+    cli._device_batch).  Kept as a utility for genuinely SYNCHRONOUS
+    stage functions (host-side transforms, blocking IO) and for A/B
+    runs (bench.measure_train_e2e(prefetch=True)).
 
-    jax dispatch is thread-safe; staged ops enter the device queue ahead
-    of the step that consumes them, which is dependency-correct (batch
-    k+1's preprocessing never depends on step k).  Do NOT pass a
-    stage_fn whose jits donate their inputs.
+    jax dispatch is thread-safe; staged ops enter the device queue
+    ahead of the step that consumes them, which is dependency-correct.
+    Do NOT pass a stage_fn whose jits donate their inputs.
 
     Exceptions from the source iterator or stage_fn re-raise in the
-    consumer; abandoning iteration (break / error) unblocks and ends the
-    staging thread like DataLoader's stop-aware put.
+    consumer; abandoning iteration (break / error) unblocks and ends
+    the staging thread like DataLoader's stop-aware put.
     """
 
     def __init__(self, source, stage_fn, depth: int = 2):

@@ -62,6 +62,14 @@ class GeoMatch(nn.Module):
     circle_m: float = 0.2
     compute_dtype: object = jnp.float32   # bf16 halves encoder bandwidth;
     # heads / losses / mesh branch stay f32
+    matching_loss_fn: object = None   # optional override for the train
+    # matching loss, signature (rgbd_features, mesh_features, mesh_xyz,
+    # labels, match_idx, visible_flag, positive_r, sym_idx) -> scalar.
+    # Used by `cli train --model-shards N` to route the loss through
+    # parallel.sp.sharded_matching_loss (mesh columns sharded over the
+    # 'model' axis — the [B*N, M] similarity matrix never materialises
+    # whole on one chip); numerically equal to the default
+    # pointwise_matching_loss up to f32 reduction order (test_sp.py).
 
     def setup(self):
         self.pcd_emb = FFB6DEmb(name="pcd_emb", dtype=self.compute_dtype)
@@ -104,12 +112,18 @@ class GeoMatch(nn.Module):
             # positive_r may arrive as a runtime input so one compiled
             # step serves every object (it differs per object diameter)
             positive_r = inputs.get("positive_r", self.positive_r)
-            match_loss = pointwise_matching_loss(
-                rgbd_features, mesh_features, mesh.xyz,
-                inputs["labels"], inputs["match_idx"],
-                inputs["visible_flag"], positive_r,
-                sym_idx=mesh.sym_idx, m=self.circle_m,
-                gamma=self.circle_gamma)
+            if self.matching_loss_fn is not None:
+                match_loss = self.matching_loss_fn(
+                    rgbd_features, mesh_features, mesh.xyz,
+                    inputs["labels"], inputs["match_idx"],
+                    inputs["visible_flag"], positive_r, mesh.sym_idx)
+            else:
+                match_loss = pointwise_matching_loss(
+                    rgbd_features, mesh_features, mesh.xyz,
+                    inputs["labels"], inputs["match_idx"],
+                    inputs["visible_flag"], positive_r,
+                    sym_idx=mesh.sym_idx, m=self.circle_m,
+                    gamma=self.circle_gamma)
             seg_loss = focal_loss(seg, inputs["labels"], gamma=2.0)
             end_points["loss"] = self.awl(seg_loss, match_loss)
             end_points["seg_loss"] = seg_loss

@@ -163,6 +163,7 @@ def sharded_matching_loss(
     mesh: Mesh,
     m: float = 0.2,
     gamma: float = 16.0,
+    sym_idx: jax.Array | None = None,
 ) -> jax.Array:
     """pointwise_matching_loss (flagship RandLA path) with mesh columns
     sharded over the `model` axis.
@@ -182,6 +183,10 @@ def sharded_matching_loss(
       visible_flag:  [B, M] sharded on ('data', 'model').
       positive_r:    scalar radius (neighbor_dis_th * diameter).
       mesh:          2-D ('data', 'model') device mesh.
+      sym_idx:       optional [M] symmetry table, REPLICATED — switches
+        to the symmetric-positive mask (losses/matching.
+        matching_positive_mask_sym: positives at match_idx[i] and at
+        sym_idx[match_idx[i]]; radius/visibility unused).
 
     Returns:
       scalar loss (replicated).
@@ -197,10 +202,15 @@ def sharded_matching_loss(
     # (geoMatch.py:117-119) -> sim with unit f is -sum(f) / sqrt(C)
     inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
 
-    def local(feats, mf, mxyz, lab, midx, vis, pr):
+    use_sym = sym_idx is not None
+    sym_arr = (jnp.zeros((m_total,), jnp.int32) if sym_idx is None
+               else sym_idx)
+
+    def local(feats, mf, mxyz, lab, midx, vis, pr, sym):
         k = jax.lax.axis_index("model")
         cols = jax.lax.dynamic_slice_in_dim(mxyz, k * m_loc, m_loc, 0)
         g = _l2norm(mf)                                   # [M_loc, C]
+        gcols = k * m_loc + jnp.arange(m_loc)             # global col ids
 
         def one_element(f_e, lab_e, midx_e, vis_e):
             f = _l2norm(f_e)                              # [N, C]
@@ -211,10 +221,19 @@ def sharded_matching_loss(
 
             in_mesh = midx_e != m_total
             safe = jnp.clip(midx_e, 0, m_total - 1)
-            gt_pt = jnp.take(mxyz, safe, axis=0)          # [N, 3]
-            d2 = pairwise_sqdist(gt_pt, cols)             # [N, M_loc]
-            pos = (d2 < jnp.square(pr)) & (vis_e > 0)[None, :] \
-                & in_mesh[:, None]
+            if use_sym:
+                # matching_positive_mask_sym on this shard's columns:
+                # positives where the global column id is the match or
+                # its symmetric counterpart
+                sidx = jnp.take(sym, safe)                # [N]
+                pos = ((gcols[None, :] == safe[:, None])
+                       | (gcols[None, :] == sidx[:, None])) \
+                    & in_mesh[:, None]
+            else:
+                gt_pt = jnp.take(mxyz, safe, axis=0)      # [N, 3]
+                d2 = pairwise_sqdist(gt_pt, cols)         # [N, M_loc]
+                pos = (d2 < jnp.square(pr)) & (vis_e > 0)[None, :] \
+                    & in_mesh[:, None]
             pos_pad = ~in_mesh                            # [N]
 
             ap = jax.lax.stop_gradient(jnp.maximum(1.0 + m - sim, 0.0))
@@ -250,7 +269,8 @@ def sharded_matching_loss(
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("data"), P("model"), P(), P("data"), P("data"),
-                  P("data", "model"), P()),
+                  P("data", "model"), P(), P()),
         out_specs=P())
     return fn(rgbd_features, mesh_features, mesh_xyz, labels, match_idx,
-              visible_flag, jnp.asarray(positive_r, jnp.float32))
+              visible_flag, jnp.asarray(positive_r, jnp.float32),
+              sym_arr)

@@ -27,13 +27,40 @@ def _to_saveable(state, epoch: int):
     }
 
 
-def save_checkpoint(state, ckpt_dir: str, epoch: int):
-    """Write checkpoint for `epoch`; updates the `latest` pointer."""
+def save_checkpoint(state, ckpt_dir: str, epoch: int,
+                    process_index: int | None = None):
+    """Write checkpoint for `epoch`; updates the `latest` pointer.
+
+    Multi-process: every rank may call (same args); every rank fetches
+    the REPLICATED saveable leaves (params/batch_stats/opt_state/step)
+    to host, and rank 0 alone writes plain numpy — the reference's
+    rank-0 torch.save semantics (train_lm.py:292-296).  Two rejected
+    alternatives, both measured failing in the 2-process rehearsal
+    (test_multiprocess.py::test_two_process_save_restart_resume,
+    2026-08-20): (a) rank-0-only orbax save of GLOBAL arrays leaves the
+    OCDBT store missing the other ranks' chunks (restore NOT_FOUND);
+    (b) all-rank collective orbax save races finalize-vs-shard-writes
+    (manifest ENOENT) because orbax's barriers consult the DEFAULT
+    backend's process topology, which a single-chip plugin backend
+    (axon) hides.  Host-side numpy keeps the write single-writer and
+    backend-independent; at this framework's model sizes (tens of MB)
+    the host fetch is negligible.
+
+    `process_index`: the caller's data-parallel rank when the default
+    backend cannot be trusted to report it (see above); defaults to
+    jax.process_index().
+    """
     ckpt_dir = osp.abspath(ckpt_dir)
-    os.makedirs(ckpt_dir, exist_ok=True)
+    pidx = jax.process_index() if process_index is None else process_index
     path = osp.join(ckpt_dir, f"epoch_{epoch:04d}")
+    # all ranks fetch (replicated leaves -> local numpy); only rank 0
+    # touches the filesystem
+    host = jax.tree_util.tree_map(np.asarray, _to_saveable(state, epoch))
+    if pidx != 0:
+        return path
+    os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _to_saveable(state, epoch), force=True)
+        ckptr.save(path, host, force=True)
     with open(osp.join(ckpt_dir, "latest"), "w") as f:
         f.write(f"epoch_{epoch:04d}")
     return path

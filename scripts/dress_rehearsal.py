@@ -122,6 +122,45 @@ def main():
                 mismatch.append((name, float(np.abs(a - b).max())))
         assert not mismatch, f"eval vs infer+score diverge: {mismatch}"
 
+        # --- stacked multimodel routing (infer --stacked) -------------
+        # MIXED-class batches through the vmap-stacked weights path
+        # with the TRAINED weights must reproduce the per-object infer
+        # CSV.  Compared as max mesh-point displacement: on-chip bf16
+        # matmuls may flip rare near-tie correspondences between the
+        # routing paths (eval/multimodel.py docstring), which trained
+        # (peaked) features keep at pose-metric noise.
+        stacked_csv = osp.join(work, "infer_stacked.csv")
+        step("infer-stacked", lambda: cli.main([
+            "infer", "--dataset", "lmo", "--data-root", root,
+            "--ckpt-root", ckpt_root, "--output", stacked_csv,
+            "--stacked", *opt]))
+
+        def read_poses(path):
+            by_key = {}
+            with open(path) as f:
+                next(f)
+                for line in f:
+                    p = line.strip().split(",")
+                    key = (int(p[0]), int(p[1]), int(p[2]))
+                    R = np.array(list(map(float, p[4].split())),
+                                 np.float64).reshape(3, 3)
+                    t = np.array(list(map(float, p[5].split())),
+                                 np.float64) / 1000.0
+                    by_key[key] = (R, t)
+            return by_key
+
+        per_rows, st_rows = read_poses(infer_csv), read_poses(stacked_csv)
+        assert set(per_rows) == set(st_rows) and len(per_rows) > 0
+        stacked_worst = 0.0
+        for key, (R1, t1) in per_rows.items():
+            R2, t2 = st_rows[key]
+            pts = meshes[key[2]][:, :3] / 1000.0
+            disp = float(np.linalg.norm(
+                (pts @ R1.T + t1) - (pts @ R2.T + t2), axis=1).max())
+            stacked_worst = max(stacked_worst, disp)
+        assert stacked_worst < 2e-3, (
+            f"stacked vs per-object poses diverge: {stacked_worst}")
+
         # --- AOT serving artifacts + HTTP daemon ----------------------
         art_dirs = {}
         for oid in OBJ_IDS:
@@ -205,13 +244,17 @@ def main():
             f"meshes), {args.epochs} epochs, batch {args.batch}.",
             "",
             "Chain: fabricate -> train -> eval --vsd -> infer -> score "
-            "-> export-serving -> serve (HTTP).  Consistency asserted: "
+            "-> infer --stacked -> export-serving -> serve (HTTP).  "
+            "Consistency asserted: "
             "infer+score errors == online eval errors (atol 1e-6); "
             f"served poses match the eval CSV poses to approx-KNN "
             f"compile noise (worst |delta| {worst:.2e}; the exported "
             f"TPU program may pick different equal-recall approx_max_k "
             f"neighbours than the live jit — bitwise parity is pinned "
-            f"on the CPU platform by test_cli).",
+            f"on the CPU platform by test_cli); stacked mixed-batch "
+            f"routing (infer --stacked) matches the per-object poses "
+            f"to {stacked_worst * 1000:.3f} mm worst mesh-point "
+            f"displacement.",
             "",
             "| stage | wall time |",
             "|---|---|",

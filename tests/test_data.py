@@ -531,9 +531,10 @@ class TestLoaderRobustness:
 
 
 class TestDevicePrefetcher:
-    """The host→device staging pipeline stage used by `cli train` and
-    bench.measure_train_e2e (overlaps H2D + preprocessing dispatch with
-    device execution)."""
+    """Background staging utility (opt-in: bench measure_train_e2e
+    prefetch=True A/B path; synchronous stage functions).  The train
+    loop stages directly — see the class docstring for the A/B that
+    demoted it."""
 
     def test_order_and_completeness(self):
         from gdm_tpu.data.loader import DevicePrefetcher

@@ -75,6 +75,30 @@ def test_sharded_matching_loss_matches(data, model):
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
 
 
+def test_sharded_matching_loss_sym_matches():
+    """Symmetric-object branch (train --model-shards on e.g. eggbox):
+    the sharded symmetric-positive mask must reproduce
+    pointwise_matching_loss(sym_idx=...) — positives at the matched
+    vertex and its symmetric counterpart, wherever those columns land
+    across shards."""
+    mesh2d = make_mesh_2d(jax.devices("cpu"), data=2, model=4)
+    args = _problem(seed=4)
+    rgbd, meshf, mesh_xyz, labels, match_idx, vis = args
+    mcols = meshf.shape[0]
+    rng = np.random.RandomState(11)
+    sym_idx = rng.permutation(mcols).astype(np.int32)
+
+    ref = pointwise_matching_loss(
+        jnp.asarray(rgbd), jnp.asarray(meshf), jnp.asarray(mesh_xyz),
+        jnp.asarray(labels), jnp.asarray(match_idx), jnp.asarray(vis),
+        0.04, sym_idx=jnp.asarray(sym_idx))
+    got = sharded_matching_loss(
+        *_place(mesh2d, *args), 0.04, mesh2d,
+        sym_idx=jnp.asarray(sym_idx))
+    assert np.isfinite(float(ref))
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+
+
 def test_sharded_matching_loss_grads_match():
     mesh2d = make_mesh_2d(jax.devices("cpu"), data=2, model=4)
     args = _problem(b=2, n=64, c=16, mcols=64, seed=3)
