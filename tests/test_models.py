@@ -192,7 +192,11 @@ class TestDGCNN:
         assert out.shape == (2, 64, 16)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow
     def test_geomatch_dgcnn_train(self):
+        # slow (79 s train-graph compile): the default-suite
+        # representative is test_cli.test_train_then_eval_dgcnn (16 s),
+        # which trains the same variant through the CLI
         n_mesh = 64
         mesh_x = jnp.array(RNG.randn(n_mesh, 9), jnp.float32)
         inputs = {

@@ -82,11 +82,18 @@ def test_stacked_matches_per_object(setup):
         np.testing.assert_allclose(poses[b], np.asarray(rt), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_routed_f32_exactness(setup):
     """Pins the multimodel.py docstring claim (VERDICT r2 weak 4): under
     f32 matmul precision the vmapped dynamic-slice routing produces ZERO
     seg-argmax or correspondence-argmax flips vs the reference-style
-    per-object loop — compared EXACTLY, not by fitted pose."""
+    per-object loop — compared EXACTLY, not by fitted pose.
+
+    slow (158 s compile on the 8-virtual-device CPU): default-suite
+    representatives are test_select_tree_roundtrip (routing mechanics)
+    and test_cli.test_train_all_objects' stacked-vs-per-object pose
+    comparison (--runslow), which exercises the same routing through
+    the CLI."""
     import jax
     import jax.numpy as jnp
 

@@ -58,7 +58,11 @@ def test_sharded_argmax_matches_global(data, model):
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("data,model", [(2, 4), (1, 8)])
+@pytest.mark.parametrize(
+    "data,model",
+    [(2, 4),
+     # same math, different split — redundant 30 s compile, slow-only
+     pytest.param(1, 8, marks=pytest.mark.slow)])
 def test_sharded_matching_loss_matches(data, model):
     mesh2d = make_mesh_2d(jax.devices("cpu"), data=data, model=model)
     args = _problem(seed=2)
@@ -99,6 +103,37 @@ def test_sharded_matching_loss_sym_matches():
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
 
 
+def test_sharded_matching_loss_grads_match_small_mesh():
+    """Fast (1, 2)-mesh gradient parity — the default-suite
+    representative for the 8-device grads test below (103 s compile;
+    slow).  Same stop-gradient pmax/psum machinery, two shards."""
+    mesh2d = make_mesh_2d(jax.devices("cpu")[:2], data=1, model=2)
+    args = _problem(b=2, n=48, c=16, mcols=32, seed=5)
+    rgbd, meshf, mesh_xyz, labels, match_idx, vis = args
+    positive_r = 0.04
+
+    def ref_loss(f, g):
+        return pointwise_matching_loss(
+            f, g, jnp.asarray(mesh_xyz), jnp.asarray(labels),
+            jnp.asarray(match_idx), jnp.asarray(vis), positive_r)
+
+    placed = _place(mesh2d, *args)
+
+    def sp_loss(f, g):
+        return sharded_matching_loss(
+            f, g, placed[2], placed[3], placed[4], placed[5],
+            positive_r, mesh2d)
+
+    gr_f, gr_g = jax.grad(ref_loss, argnums=(0, 1))(
+        jnp.asarray(rgbd), jnp.asarray(meshf))
+    gs_f, gs_g = jax.grad(sp_loss, argnums=(0, 1))(placed[0], placed[1])
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gr_f),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs_g), np.asarray(gr_g),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_sharded_matching_loss_grads_match():
     mesh2d = make_mesh_2d(jax.devices("cpu"), data=2, model=4)
     args = _problem(b=2, n=64, c=16, mcols=64, seed=3)

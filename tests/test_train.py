@@ -161,10 +161,16 @@ class TestNonfiniteGuard:
         p3 = optax.apply_updates(params, u)
         assert not np.all(np.isfinite(np.asarray(p3["w"])))
 
+    @pytest.mark.slow
     def test_guarded_state_apply_gradients(self, shared):
         """A guarded TrainState skips a NaN-gradient apply_gradients and
         surfaces total_notfinite on its opt_state (what make_train_step
-        exports as a metric)."""
+        exports as a metric).
+
+        slow (70 s full-model state compile): default-suite
+        representatives are test_optimizer_skips_then_passes_through
+        (the optax guard itself, 3 s) and the 2-process resume test's
+        guarded save/restore (test_multiprocess)."""
         tx = make_optimizer(cyclic_lr(1e-4, 1e-3, 100), skip_nonfinite=3)
         state = create_train_state(
             shared.model, jax.random.PRNGKey(0),
