@@ -572,8 +572,15 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
 
         warm_batches = max(len(dl), 1)          # one epoch: HPR cache
         _, ep = run_batches(warm_batches, 0)
-        dt, _ = run_batches(steps, ep)
-        return steps * batch / dt
+        # pure-loader throughput on the warmed dataset: the e2e
+        # number's host-side ceiling, published next to it so the
+        # driver JSON is self-explaining (docs/SCALING.md anatomy)
+        dl.set_epoch(ep)
+        t0 = time.perf_counter()
+        n_b = sum(1 for _ in dl)
+        loader_sps = n_b * batch / (time.perf_counter() - t0)
+        dt, _ = run_batches(steps, ep + 1)
+        return steps * batch / dt, loader_sps
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -953,8 +960,13 @@ def main():
             # loop; f32 step — the e2e number is host-bound anyway)
             try:
                 with section("train_e2e"):
-                    result["train_sps_e2e_b24"] = round(
-                        measure_train_e2e(train_carry, mesh_fps, mesh), 2)
+                    e2e_sps, loader_sps = measure_train_e2e(
+                        train_carry, mesh_fps, mesh)
+                result["train_sps_e2e_b24"] = round(e2e_sps, 2)
+                # host-side ceiling of the line above (pure loader on
+                # the same warmed dataset) — e2e ≈ min(loader, tunnel
+                # H2D, device): see docs/SCALING.md
+                result["e2e_loader_sps"] = round(loader_sps, 2)
             except Exception as e:
                 result["train_sps_e2e_b24"] = None
                 result["train_e2e_error"] = str(e)[:120]

@@ -973,7 +973,12 @@ def _infer_stacked(args):
     if cfg.model.backbone != "randla_spline":
         raise SystemExit("--stacked requires the randla_spline backbone")
     refd = get_refdata(args.dataset)
-    batch_size = args.batch_size or cfg.solver.val_batch_size
+    # stacked default batch caps at 16, NOT val_batch_size (128): each
+    # element gathers its own weight slice, so the batched-weights
+    # temporaries scale as batch x params (~2.1 GB at b=16 for the
+    # 33M-param flagship — the chip-validated operating point; b=128
+    # crashed the XLA compile, 2026-08-20).  --batch-size overrides.
+    batch_size = args.batch_size or min(cfg.solver.val_batch_size, 16)
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
     targets = _load_targets(args.targets) if args.targets else None
 
