@@ -939,25 +939,27 @@ def main():
 
     if os.environ.get("GDM_BENCH_TRAIN", "1") != "0":
         train_carry = {}
-        for dt_name, key, tag in (
-                ("float32", "train_sps_b24_f32", "f32"),
-                ("bfloat16", "train_sps_b24_bf16", "bf16")):
+
+        def run_train(dt_name, key, tag, carry):
             try:
                 with section(f"train_{tag}"):
                     sps, mfu, sol = measure_train(
-                        mesh_fps, mesh, dtype=dt_name,
-                        carry=train_carry if dt_name == "float32"
-                        else None)
+                        mesh_fps, mesh, dtype=dt_name, carry=carry)
                 result[key] = round(sps, 2)
                 result[f"mfu_train_b24_{tag}"] = mfu
                 result[f"sol_train_b24_{tag}"] = sol
             except Exception as e:   # keep the headline even if train
                 result[key] = None   # measurement fails
                 result[key + "_error"] = str(e)[:120]
+
+        run_train("float32", "train_sps_b24_f32", "f32", train_carry)
+        # e2e IMMEDIATELY after the f32 step that compiled its
+        # executable: the loader-fed number is upload-sensitive
+        # (12.7 MB/batch) and the tunnel degrades within the process —
+        # running it before the H2D-heavy bf16 section measured 47.4
+        # standalone vs 26-33 when last (2026-08-20/21)
         if (os.environ.get("GDM_BENCH_E2E", "1") != "0"
                 and train_carry.get("compiled") is not None):
-            # loader-fed end-to-end throughput (input pipeline in the
-            # loop; f32 step — the e2e number is host-bound anyway)
             try:
                 with section("train_e2e"):
                     e2e_sps, loader_sps = measure_train_e2e(
@@ -970,6 +972,7 @@ def main():
             except Exception as e:
                 result["train_sps_e2e_b24"] = None
                 result["train_e2e_error"] = str(e)[:120]
+        run_train("bfloat16", "train_sps_b24_bf16", "bf16", None)
         train_carry.clear()       # release the retained state's HBM
 
     # lmfull-shape training (VERDICT r3 item 3): the reference's other

@@ -652,9 +652,10 @@ def train(args):
                     it_prev = it + 1
             if ((epoch + 1) % sol.checkpoint_every_epochs == 0
                     or epoch + 1 == epochs):
-                # collective: EVERY process calls save (orbax writes
-                # per-process shards; rank-0-only saves leave missing
-                # chunks — see train/checkpoint.py)
+                # every process calls save; each fetches the replicated
+                # leaves to host and rank 0 alone writes numpy — see
+                # train/checkpoint.py for why the orbax collective save
+                # is a measured loser here
                 path = save_checkpoint(state, ckpt_dir, epoch)
                 if jax.process_index() == 0:
                     log.info("checkpoint -> %s", path)
