@@ -46,6 +46,10 @@ finalize/pyramid into the same compiled train step (measure_train_e2e).
 cluttered test depth (the realistic workload; `_batched` is the
 friendly convex one).
 
+`e2e_loader_sps` = pure-loader throughput on the warmed dataset,
+published next to `train_sps_e2e_b24` so its host-side ceiling reads
+off the JSON (e2e ≈ min(loader, tunnel H2D, device) — SCALING.md).
+
 Self-diagnosis keys (VERDICT r3 items 2/7): `h2d_mbps_pre/post` =
 tunnel H2D bandwidth probes bracketing the upload-sensitive sections
 (a large pre->post drop means late sections measured a degraded
