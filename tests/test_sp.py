@@ -103,26 +103,33 @@ def test_sharded_matching_loss_sym_matches():
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
 
 
-def test_sharded_matching_loss_grads_match_small_mesh():
+@pytest.mark.parametrize("sym", [False, True])
+def test_sharded_matching_loss_grads_match_small_mesh(sym):
     """Fast (1, 2)-mesh gradient parity — the default-suite
     representative for the 8-device grads test below (103 s compile;
-    slow).  Same stop-gradient pmax/psum machinery, two shards."""
+    slow).  Same stop-gradient pmax/psum machinery, two shards;
+    sym=True also covers gradients through the symmetric-positive
+    branch (train --model-shards on sym objects)."""
     mesh2d = make_mesh_2d(jax.devices("cpu")[:2], data=1, model=2)
     args = _problem(b=2, n=48, c=16, mcols=32, seed=5)
     rgbd, meshf, mesh_xyz, labels, match_idx, vis = args
     positive_r = 0.04
+    sym_idx = (jnp.asarray(np.random.RandomState(9)
+                           .permutation(meshf.shape[0]).astype(np.int32))
+               if sym else None)
 
     def ref_loss(f, g):
         return pointwise_matching_loss(
             f, g, jnp.asarray(mesh_xyz), jnp.asarray(labels),
-            jnp.asarray(match_idx), jnp.asarray(vis), positive_r)
+            jnp.asarray(match_idx), jnp.asarray(vis), positive_r,
+            sym_idx=sym_idx)
 
     placed = _place(mesh2d, *args)
 
     def sp_loss(f, g):
         return sharded_matching_loss(
             f, g, placed[2], placed[3], placed[4], placed[5],
-            positive_r, mesh2d)
+            positive_r, mesh2d, sym_idx=sym_idx)
 
     gr_f, gr_g = jax.grad(ref_loss, argnums=(0, 1))(
         jnp.asarray(rgbd), jnp.asarray(meshf))
