@@ -522,8 +522,8 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
                          rng=np.random.RandomState(seed))
         dl = DataLoader(ds, batch, shuffle=True, drop_last=True,
                         num_workers=num_workers, seed=seed)
-        fin_keys = ["rgb_u8", "dpt_m", "K_crop", "choose",
-                    "labels", "origin_labels", "match_idx",
+        fin_keys = ["rgb_u8", "dpt_u16", "dpt_scale", "dpt_m", "K_crop",
+                    "choose", "labels", "origin_labels", "match_idx",
                     "visible_flag", "RT"]
         if cfg.data.fill_depth:
             # finalize reads dpt_filled only when filling; skipping it
@@ -548,6 +548,14 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
                 match_idx=fin["match_idx"],
                 visible_flag=fin["visible_flag"], RT=fin["RT"])
 
+        if len(dl) == 0:
+            # host_batches would spin epochs forever on an empty loader
+            # and the final metrics fetch would TypeError on None — fail
+            # loudly instead of hanging inside the watchdogged bench
+            raise RuntimeError(
+                f"e2e bench dataset yielded 0 batches "
+                f"({len(ds)} samples, batch {batch})")
+
         def run_batches(n, epoch0):
             nonlocal state
             epoch_end = [epoch0]
@@ -570,6 +578,8 @@ def measure_train_e2e(carry, mesh_fps, mesh, n_frames=96, steps=12,
                       else map(stage, host_batches()))
             for inputs in stream:
                 state, metrics = compiled(state, inputs, mesh, rng)
+            if metrics is None:
+                raise RuntimeError("e2e bench stream produced no batches")
             # real fetch: proves the queued device work ran (CLAUDE.md)
             float(jax.device_get(metrics["loss"]))
             return (time.perf_counter() - t0), epoch_end[0]
@@ -896,7 +906,7 @@ def main():
         result["h2d_mbps_pre"] = h2d_probe(accel)
     except Exception as e:
         result["h2d_mbps_pre"] = None
-        result["h2d_probe_error"] = str(e)[:120]
+        result["h2d_probe_pre_error"] = str(e)[:120]
 
     # VSD runs BEFORE the train/e2e/DGCNN sections: the metric is
     # upload-sensitive (host-binned candidate tables each chunk) and
@@ -1002,7 +1012,7 @@ def main():
         result["h2d_mbps_post"] = h2d_probe(accel)
     except Exception as e:
         result["h2d_mbps_post"] = None
-        result["h2d_probe_error"] = str(e)[:120]
+        result["h2d_probe_post_error"] = str(e)[:120]
 
     if watchdog is not None:
         watchdog.cancel()

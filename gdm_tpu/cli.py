@@ -56,6 +56,26 @@ def _select_devices(args):
     return devs
 
 
+def _process_rank_world():
+    """Data-parallel (rank, world), robust to plugin default backends
+    that hide the process topology: the axon TPU plugin reports
+    process_index 0 / process_count 1 on EVERY rank (measured —
+    tests/_mp_resume_worker.py), so a rank check against the default
+    backend would make all ranks take the rank-0 write path and race.
+    Prefer whichever backend reports the largest world (the one
+    jax.distributed.initialize actually federated)."""
+    import jax
+
+    best = (jax.process_index(), jax.process_count())
+    for plat in ("cpu", "tpu"):
+        try:
+            if jax.process_count(plat) > best[1]:
+                best = (jax.process_index(plat), jax.process_count(plat))
+        except RuntimeError:            # backend absent
+            continue
+    return best
+
+
 def _build_object_setup(cfg, refd, cls_id, data_root):
     """Mesh graph + diameter + names for one object."""
     from gdm_tpu.data.ply import load_or_build_fps_mesh
@@ -105,17 +125,26 @@ def _make_model(cfg, diameter_m, mesh_fps, mesh_arr, exact_knn=False,
     import jax.numpy as jnp
 
     if cfg.model.backbone == "dgcnn":
-        if sp_mesh is not None:
-            raise SystemExit("--model-shards training requires the "
-                             "randla_spline backbone (the dgcnn loss "
-                             "uses depth-scaled radii; unsharded)")
         from gdm_tpu.models.geomatch_dgcnn import GeoMatchDGCNN
         from gdm_tpu.models.spline_mesh import IMAGENET_MEAN, IMAGENET_STD
 
+        matching_loss_fn = None
+        if sp_mesh is not None:
+            # dgcnn sharded loss: e0 pad column + per-COLUMN
+            # depth-scaled radius (geoMatch_DGCNN.py:23,62-65) — the
+            # r4 exclusion lifted (VERDICT r4 item 4)
+            from gdm_tpu.parallel.sp import sharded_matching_loss
+
+            def matching_loss_fn(rgbd, mf, mxyz, lab, midx, vis, rt,
+                                 r_mm):
+                return sharded_matching_loss(
+                    rgbd, mf, mxyz, lab, midx, vis, 0.0, sp_mesh,
+                    pad_onehot=True, rt=rt, depth_scaled_r_mm=r_mm)
         model = GeoMatchDGCNN(
             feat_dim=cfg.model.feat_dim,
             approx_knn=not (exact_knn or cfg.model.dgcnn_exact_knn),
-            compute_dtype=jnp.dtype(cfg.model.compute_dtype))
+            compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+            matching_loss_fn=matching_loss_fn)
         pts = mesh_fps[:, :3]                    # metres (load_fps_mesh)
         rgb_n = (mesh_fps[:, 3:6] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         mesh_x = jnp.asarray(np.concatenate(
@@ -312,13 +341,16 @@ def _device_batch(batch, mesh_dev, fill_depth):
     from gdm_tpu.data.pipeline import finalize_batch
     from gdm_tpu.parallel import shard_batch
 
-    keys = ["rgb_u8", "dpt_m", "K_crop", "choose", "labels",
-            "origin_labels", "match_idx", "visible_flag", "RT", "det"]
+    # depth ships as uint16 counts + per-sample scale and the GT label
+    # arrays ship narrow (u8/u16) — H2D bytes are the binding e2e-train
+    # resource through the tunneled chip (docs/SCALING.md); dpt_m kept
+    # for callers staging pre-scaled float batches
+    keys = ["rgb_u8", "dpt_u16", "dpt_scale", "dpt_m", "K_crop",
+            "choose", "labels", "origin_labels", "match_idx",
+            "visible_flag", "RT", "det"]
     if fill_depth:
-        # finalize_batch reads dpt_filled only when filling; skipping it
-        # otherwise saves 1/3 of the per-batch H2D bytes (6.3 of 19 MB
-        # at b=24 — the loader duplicates dpt_m into dpt_filled), which
-        # is the binding resource through the tunneled chip's H2D path
+        # finalize_batch reads dpt_filled only when filling; skipping
+        # it otherwise drops dead ship weight
         keys.append("dpt_filled")
     dev = {k: jnp.asarray(batch[k]) for k in keys if k in batch}
     dev = shard_batch(dev, mesh_dev)
@@ -467,6 +499,9 @@ def train(args):
 
     if args.multihost:
         jax.distributed.initialize()
+    # rank/world from the backend that actually has the topology (the
+    # axon plugin reports 0/1 on every rank — ADVICE r4)
+    rank, world = _process_rank_world()
     log = get_logger("train")
     cfg = get_config(args.dataset, args.opt)
     refd = get_refdata(args.dataset)
@@ -508,17 +543,16 @@ def train(args):
 
         ds = PoseDataset(cfg, cls_id, "train", diameter_m=diameter_m,
                          data_root=args.data_root,
-                         rng=np.random.RandomState(args.seed
-                                                   + jax.process_index()))
+                         rng=np.random.RandomState(args.seed + rank))
         # each host loads ONLY the rows its devices consume (shard_batch
         # assembles the global batch from per-process local chunks)
-        if batch_size % jax.process_count():
+        if batch_size % world:
             raise SystemExit(f"batch {batch_size} not divisible by "
-                             f"{jax.process_count()} processes")
-        dl = DataLoader(ds, batch_size // jax.process_count(),
+                             f"{world} processes")
+        dl = DataLoader(ds, batch_size // world,
                         shuffle=True, drop_last=True,
                         num_workers=args.num_workers, seed=args.seed,
-                        rank=jax.process_index(), world=jax.process_count(),
+                        rank=rank, world=world,
                         workers=args.loader_workers)
         log.info("%d samples, %d steps/epoch", len(ds), len(dl))
 
@@ -528,14 +562,25 @@ def train(args):
         if model is None:
             model = model_i
         val_ctx = None
-        if args.eval_every and jax.process_count() == 1:
+        val_mesh, val_n_dev = dev_mesh, n_dev
+        if args.eval_every and world > 1:
+            # multihost: validate on rank 0 alone over ITS local mesh
+            # devices (no cross-host collectives -> other ranks skip
+            # without deadlocking; state is fetched to host first, so
+            # the val jits re-stage it locally)
+            from gdm_tpu.parallel import make_mesh
+
+            devs = list(np.asarray(dev_mesh.devices).flat)
+            plat = devs[0].platform
+            local = [d for d in devs
+                     if d.process_index == jax.process_index(plat)]
+            val_mesh, val_n_dev = make_mesh(local), len(local)
+        if args.eval_every and (world == 1 or rank == 0):
             if val_jits is None:    # ONE compile serves every object
                 val_jits = _make_infer_jits(needs_pyramid,
                                             args.knn_chunk, False, None)
             val_ctx = _ValContext(cfg, refd, cls_id, args, diameter_m,
-                                  log, n_dev, val_jits)
-        elif args.eval_every:
-            log.warning("--eval-every is single-host only; skipping")
+                                  log, val_n_dev, val_jits)
         positive_r = (cfg.model.neighbor_dis_th * diameter_m
                       if needs_pyramid else None)
         # step_size follows the reference's epochs*len/bs/div/n_replicas
@@ -551,17 +596,18 @@ def train(args):
             raise SystemExit(
                 f"{obj_name}: {len(ds)} samples on this process is "
                 f"smaller than the per-process batch "
-                f"{batch_size // jax.process_count()} (drop_last)")
+                f"{batch_size // world} (drop_last)")
         # init shapes straight from the dataset — spinning a throwaway
         # DataLoader (full worker pool, prefetch) per object just to
         # discard one batch is pure startup waste in --cls-id all runs
         from gdm_tpu.data.loader import collate
 
         batch0, _ = collate([ds[i % len(ds)] for i in
-                             range(batch_size // jax.process_count())])
+                             range(batch_size // world)])
         fin0 = _device_batch(batch0, dev_mesh, cfg.data.fill_depth)
         sample_inputs = _train_inputs(fin0, args.knn_chunk, needs_pyramid,
                                       positive_r)
+        mesh_input_h, mesh_xyz_h = mesh_input, mesh_xyz  # host copies
         mesh_input = replicate(mesh_input, dev_mesh)
         mesh_xyz = replicate(mesh_xyz, dev_mesh)
         state = create_train_state(
@@ -594,7 +640,7 @@ def train(args):
         # (reference observability is stdout-only, train_lm.py:275-283)
         mlog = (JsonlLogger(osp.join(args.ckpt_root, "metrics",
                                      f"{obj_name}.jsonl"))
-                if jax.process_index() == 0 else None)
+                if rank == 0 else None)
         notfinite_seen = 0
         rng = jax.random.PRNGKey(args.seed + 7 + cls_id)
 
@@ -656,8 +702,9 @@ def train(args):
                 # leaves to host and rank 0 alone writes numpy — see
                 # train/checkpoint.py for why the orbax collective save
                 # is a measured loser here
-                path = save_checkpoint(state, ckpt_dir, epoch)
-                if jax.process_index() == 0:
+                path = save_checkpoint(state, ckpt_dir, epoch,
+                                       process_index=rank)
+                if rank == 0:
                     log.info("checkpoint -> %s", path)
             if val_ctx is not None and (
                     (epoch + 1) % args.eval_every == 0
@@ -665,8 +712,15 @@ def train(args):
                 # validation on the kps model points (the eval command
                 # uses models_eval PLYs when present; kps points are the
                 # same cloud the matching head is trained against)
-                val = val_ctx.run(state, mesh_input, mesh_xyz, dev_mesh,
-                                  mesh_fps[:, :3])
+                if world > 1:
+                    # replicated leaves -> host numpy; the val jits
+                    # re-commit them to the rank-local mesh
+                    val = val_ctx.run(jax.device_get(state),
+                                      mesh_input_h, mesh_xyz_h,
+                                      val_mesh, mesh_fps[:, :3])
+                else:
+                    val = val_ctx.run(state, mesh_input, mesh_xyz,
+                                      dev_mesh, mesh_fps[:, :3])
                 if val is not None:
                     log.info("epoch %d val: add_auc %.2f ad_10 %.2f%% "
                              "(%d frames)", epoch, val["val_add_auc"],
@@ -777,6 +831,7 @@ def evaluate(args):
                         rank=jax.process_index(),
                         world=jax.process_count(),
                         workers=args.loader_workers)
+        mesh_input_h, mesh_xyz_h = mesh_input, mesh_xyz  # host copies
         mesh_input = replicate(mesh_input, dev_mesh)
         mesh_xyz = replicate(mesh_xyz, dev_mesh)
 
@@ -974,12 +1029,12 @@ def _infer_stacked(args):
     if cfg.model.backbone != "randla_spline":
         raise SystemExit("--stacked requires the randla_spline backbone")
     refd = get_refdata(args.dataset)
-    # stacked default batch caps at 16, NOT val_batch_size (128): each
-    # element gathers its own weight slice, so the batched-weights
-    # temporaries scale as batch x params (~2.1 GB at b=16 for the
-    # 33M-param flagship — the chip-validated operating point; b=128
-    # crashed the XLA compile, 2026-08-20).  --batch-size overrides.
-    batch_size = args.batch_size or min(cfg.solver.val_batch_size, 16)
+    # full val_batch_size batches (round 5): the stacked jit scans
+    # vmapped groups of <=16 elements, so the per-element weight-gather
+    # temporaries are bounded at group x params regardless of batch
+    # (a whole-batch vmap scaled them as batch x params and crashed the
+    # XLA compile at b=128, 2026-08-20 — see eval/multimodel.py).
+    batch_size = args.batch_size or cfg.solver.val_batch_size
     cls_ids = [args.cls_id] if args.cls_id else list(cfg.data.obj_ids)
     targets = _load_targets(args.targets) if args.targets else None
 
@@ -987,7 +1042,8 @@ def _infer_stacked(args):
     parts, meshes, all_vars = [], [], []
     model = None
     state_template = None
-    raw_keys = {"rgb_u8", "dpt_m", "K_crop", "choose", "det"}
+    raw_keys = {"rgb_u8", "dpt_u16", "dpt_scale", "dpt_m", "K_crop",
+                "choose", "det"}
     if cfg.data.fill_depth:     # see _device_batch: upload only if read
         raw_keys.add("dpt_filled")
     for cls_id in cls_ids:
@@ -1048,7 +1104,10 @@ def _infer_stacked(args):
         *[jnp.stack([jnp.asarray(getattr(m, f)) for m in meshes])
           for f in ("xyz", "node_x", "neigh_idx", "basis", "slot")],
         sym_idx=None)
-    infer_fn = make_multi_model_infer(model)
+    import math
+
+    infer_fn = make_multi_model_infer(
+        model, group=math.gcd(batch_size, 16))
     mixed = _MixedInferDataset(parts)
     dl = DataLoader(mixed, batch_size, shuffle=False, drop_last=False,
                     num_workers=args.num_workers,
@@ -1163,6 +1222,7 @@ def infer(args):
                         rank=jax.process_index(),
                         world=jax.process_count(),
                         workers=args.loader_workers)
+        mesh_input_h, mesh_xyz_h = mesh_input, mesh_xyz  # host copies
         mesh_input = replicate(mesh_input, dev_mesh)
         mesh_xyz = replicate(mesh_xyz, dev_mesh)
         icp_reject = (args.icp_reject if args.icp_reject is not None

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import cv2
 import numpy as np
-from PIL import Image
 
 
 def _rand_range(rng, lo, hi):
@@ -99,17 +98,16 @@ def add_real_background(
 
     Returns (rgb, dpt) with background pixels replaced.
     """
+    from gdm_tpu.data.imio import imread_mask, imread_rgb, imread_u16
+
     im_h, im_w = im_hw
     rnd_h = rng.randint(0, im_h - in_size - 1)
     rnd_w = rng.randint(0, im_w - in_size - 1)
     rec = real_records[rng.randint(0, len(real_records))]
 
-    with Image.open(rec.depth_file) as di:
-        real_dpt = np.array(di) / 1000.0
-    with Image.open(rec.mask_file) as li:
-        bk_label = np.array(li)
-    with Image.open(rec.rgb_file) as ri:
-        bk_rgb = np.array(ri)[:, :, :3]
+    real_dpt = imread_u16(rec.depth_file) / 1000.0
+    bk_label = imread_mask(rec.mask_file)
+    bk_rgb = imread_rgb(rec.rgb_file)
 
     sl = np.s_[rnd_h:rnd_h + in_size, rnd_w:rnd_w + in_size]
     bk_clip = (bk_label[sl] < 255).astype(rgb.dtype)

@@ -12,11 +12,19 @@ datasets/ycbv/ycbv_pbr.py:28-692, restructured TPU-first:
     moves into the jitted device step (gdm_tpu.data.pipeline), so samples
     ship as uint8 rgb + one float depth plane instead of 25 arrays.
 
-Per-sample output keys (numpy):
-  rgb_u8 [S,S,3] uint8, dpt_m [S,S] f32 (raw crop), dpt_filled [S,S] f32
-  (== dpt_m when fill disabled), K_crop [3,3] f32, choose [N] i32,
-  labels / origin_labels / match_idx [N] i32, visible_flag [M] u8,
-  RT [3,4] f32; test adds cls_id/det (i32) and file_name (str, via meta).
+Per-sample output keys (numpy), sized for the tunnel's H2D budget
+(round 5: ship BYTES are the binding e2e-train resource, so depth goes
+as raw uint16 counts + a per-sample scale and the GT label arrays ship
+narrow — data.pipeline.finalize_batch reconstructs metres / widens to
+int32 on device):
+  rgb_u8 [S,S,3] uint8, dpt_u16 [S,S] uint16 (cropped raw counts),
+  dpt_scale f32 scalar (counts-per-metre divisor: dpt_m = dpt_u16 /
+  dpt_scale — exact for BOP sources, whose depth PNGs are uint16
+  counts), dpt_filled [S,S] f32 (only when data.fill_depth),
+  K_crop [3,3] f32, choose [N] i32, labels / origin_labels [N] u8,
+  match_idx [N] u16 (i32 when the mesh has >=65535 vertices),
+  visible_flag [M] u8, RT [3,4] f32; test adds cls_id/det (i32) and
+  file_name (str, via meta).
 
 Behaviour notes mirrored from the reference:
   * depth scaling: /depth_factor for pbr+test frames, /1000 for real
@@ -38,7 +46,6 @@ import os.path as osp
 
 import cv2
 import numpy as np
-from PIL import Image
 
 from gdm_tpu.configs.base import Config
 from gdm_tpu.data import bop
@@ -49,6 +56,7 @@ from gdm_tpu.data.augment import (
 )
 from gdm_tpu.data.crop import crop_affine_matrix, crop_resize_by_warp_affine
 from gdm_tpu.data.gt_gen import pose_gt_info, pose_visibility
+from gdm_tpu.data.imio import imread_mask, imread_rgb, imread_u16
 
 
 class PoseDataset:
@@ -219,21 +227,19 @@ class PoseDataset:
     def get_item(self, rec: bop.Record,
                  rng: np.random.RandomState | None = None) -> dict | None:
         rng = self.rng if rng is None else rng
-        with Image.open(rec.rgb_file) as ri:
-            rgb = np.array(ri)[:, :, :3]
-        with Image.open(rec.depth_file) as di:
-            dpt = np.array(di).astype(np.float32)
+        rgb = imread_rgb(rec.rgb_file)
+        dpt_raw = imread_u16(rec.depth_file)        # counts, never metres
         no_gt = not rec.mask_file                   # infer mode records
         if no_gt:
             mask = np.zeros(rgb.shape[:2], np.uint8)
         else:
-            with Image.open(rec.mask_file) as li:
-                mask = np.array(li)
-        if rec.img_type in ("pbr", "test"):
-            dpt_m = dpt / rec.depth_factor
-        else:
-            dpt_m = dpt / 1000.0
-        msk_dp = (dpt_m > 1e-6).astype(np.uint8)
+            mask = imread_mask(rec.mask_file)
+        # counts-per-metre divisor (linemod_pbr.py:428-431): dpt_m =
+        # dpt_raw / divisor.  Depth stays uint16 through the crop —
+        # INTER_NEAREST picks source pixels, so warp(raw)/divisor ==
+        # warp(raw/divisor) bit-exactly, at half the ship bytes.
+        divisor = float(rec.depth_factor) \
+            if rec.img_type in ("pbr", "test") else 1000.0
         K = rec.cam_K
 
         det = 1
@@ -256,25 +262,39 @@ class PoseDataset:
             rgb, center, scale, S, interpolation=cv2.INTER_LINEAR)
         mask_c = crop_resize_by_warp_affine(
             mask, center, scale, S, interpolation=cv2.INTER_NEAREST)
-        dpt_c = crop_resize_by_warp_affine(
-            dpt_m, center, scale, S, interpolation=cv2.INTER_NEAREST)
-        mskdp_c = crop_resize_by_warp_affine(
-            msk_dp, center, scale, S, interpolation=cv2.INTER_NEAREST)
+        dptc_u16 = crop_resize_by_warp_affine(
+            dpt_raw, center, scale, S, interpolation=cv2.INTER_NEAREST)
         A = crop_affine_matrix(center, scale, S)
         K_crop = (A @ K).astype(np.float32)
 
         if self.add_noise and rec.img_type == "synt":
             rgb_c = rgb_add_noise(rgb_c, rng)
             if self.real_annos:
+                dpt_c = dptc_u16.astype(np.float32) / divisor
                 rgb_c, dpt_c = add_real_background(
-                    rgb_c, mask_c, dpt_c, mskdp_c, self.real_annos,
-                    rng, S, self.im_hw)
+                    rgb_c, mask_c, dpt_c, (dptc_u16 > 0).astype(np.uint8),
+                    self.real_annos, rng, S, self.im_hw)
+                # back to counts: exact for unmodified pixels (an
+                # integer round-trips f32 division/multiplication) and
+                # for pasted real depth when the divisors share a
+                # factor of 10 (the BOP norm); otherwise quantised to
+                # the nearest half-count (<= 0.05 mm at the usual
+                # depth_scale 0.1 — below the source PNG's own
+                # quantisation)
+                dptc_u16 = np.clip(np.round(dpt_c * divisor), 0,
+                                   65535).astype(np.uint16)
             if rng.rand() > 0.8:
                 rgb_c = rgb_add_noise(rgb_c, rng)
 
-        dpt_filled = fill_depth_fast(dpt_c) if self.fill_depth else dpt_c
+        if self.fill_depth:
+            dpt_filled = fill_depth_fast(
+                dptc_u16.astype(np.float32) / divisor)
+            valid_px = dpt_filled > 1e-6
+        else:
+            dpt_filled = None
+            valid_px = dptc_u16 > 0           # counts >= 1 <=> > 1e-6 m
 
-        choose = np.nonzero((dpt_filled > 1e-6).ravel())[0]
+        choose = np.nonzero(valid_px.ravel())[0]
         if len(choose) < 200 and self.mode == "train":
             return None
         if len(choose) == 0:
@@ -290,15 +310,20 @@ class PoseDataset:
         rng.shuffle(choose)
         choose = choose.astype(np.int32)
 
-        # host backprojection of the raw crop depth (GT gen needs cld; the
-        # device recomputes the full xyz image from dpt_m at step time)
-        vv, uu = np.mgrid[:S, :S].astype(np.float32)
-        x = (uu - K_crop[0, 2]) * dpt_c / K_crop[0, 0]
-        y = (vv - K_crop[1, 2]) * dpt_c / K_crop[1, 1]
-        cld = np.stack([x, y, dpt_c], -1).reshape(-1, 3)[choose]
+        # host backprojection of the raw crop depth, CHOSEN PIXELS ONLY
+        # (GT gen needs cld; the device recomputes the full xyz image
+        # from the uint16 counts at step time).  Element-wise f32 math
+        # identical to backprojecting the full [S,S] grid and gathering
+        # — at 1/16th the host work (no np.mgrid, no full-image temps).
+        z = dptc_u16.ravel()[choose].astype(np.float32) / divisor
+        uu = (choose % S).astype(np.float32)
+        vv = (choose // S).astype(np.float32)
+        x = (uu - K_crop[0, 2]) * z / K_crop[0, 0]
+        y = (vv - K_crop[1, 2]) * z / K_crop[1, 1]
+        cld = np.stack([x, y, z], -1)
         cld = np.nan_to_num(cld, posinf=0.0, neginf=0.0)
 
-        labels_pt = mask_c.ravel()[choose].astype(np.int32)
+        labels_pt = mask_c.ravel()[choose]
         labels_pt[labels_pt == 255] = 1
 
         if no_gt:
@@ -306,7 +331,7 @@ class PoseDataset:
             # correspondences are placeholders (the model's seg head and
             # similarity argmax drive the pose fit; these keys are only
             # consumed by losses/metrics)
-            labels = np.zeros(self.n_sample, np.int32)
+            labels = np.zeros(self.n_sample, np.uint8)
             match_idx = np.full(self.n_sample, len(self.mesh_pts),
                                 np.int32)
             visible_flag = np.zeros(len(self.mesh_pts), np.uint8)
@@ -318,19 +343,25 @@ class PoseDataset:
             if self.mode == "train" and not valid:
                 return None
 
+        # narrow ship dtypes (finalize_batch widens on device): the
+        # no-match sentinel is m == len(mesh_pts), so u16 needs m+1
+        # representable values
+        midx_dtype = np.uint16 if len(self.mesh_pts) < 65535 else np.int32
         item = {
-            "rgb_u8": rgb_c.astype(np.uint8),
-            "dpt_m": dpt_c.astype(np.float32),
-            "dpt_filled": dpt_filled.astype(np.float32),
+            "rgb_u8": rgb_c.astype(np.uint8, copy=False),
+            "dpt_u16": dptc_u16,
+            "dpt_scale": np.float32(divisor),
             "K_crop": K_crop,
             "choose": choose,
-            "labels": labels.astype(np.int32),
-            "origin_labels": labels_pt,
-            "match_idx": match_idx.astype(np.int32),
+            "labels": labels.astype(np.uint8, copy=False),
+            "origin_labels": labels_pt.astype(np.uint8, copy=False),
+            "match_idx": match_idx.astype(midx_dtype, copy=False),
             "visible_flag": visible_flag,
             "RT": rec.pose.astype(np.float32),
             "K": K.astype(np.float32),
         }
+        if dpt_filled is not None:
+            item["dpt_filled"] = dpt_filled.astype(np.float32, copy=False)
         if self.mode in ("test", "infer"):
             item["cls_id"] = np.int32(rec.obj_id)
             item["det"] = np.int32(det)

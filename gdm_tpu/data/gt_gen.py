@@ -79,13 +79,14 @@ def pose_gt_info(
     vis_idx = np.nonzero(visible_flag)[0]
     vis_proj = mesh_pts[vis_idx] @ R.T + t.T
 
-    nn, dist = native.knn(vis_proj, obj_cld, 1, return_dist=True)
-    nn, dist = nn[:, 0], dist[:, 0]
-    matched = vis_idx[nn]
-    bad = dist > nn_dist_th
+    # radius-bounded NN (voxel grid, -1 = no match within nn_dist_th):
+    # identical to knn(k=1) + dist>th rejection (linemod_pbr.py:636-646)
+    # but skips the per-sample KD-tree — the dominant warm loader cost
+    nn = native.radius_nn(vis_proj, obj_cld, nn_dist_th)
+    bad = nn < 0
     if bad.all():
         return labels, match_idx, visible_flag, False
-    matched = matched.astype(np.int32)
+    matched = vis_idx[np.where(bad, 0, nn)].astype(np.int32)
     matched[bad] = m
     fg_idx = np.where(fg)[0]
     labels[fg_idx[bad]] = 0

@@ -109,6 +109,11 @@ class DevicePrefetcher:
                 put(_DONE)
             except Exception as e:          # surface in consumer
                 put(e)
+            except BaseException:           # KeyboardInterrupt/SystemExit
+                # delivered to this thread: unblock the consumer before
+                # dying, else it waits on q.get() forever (ADVICE r4)
+                put(_DONE)
+                raise
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -166,9 +166,13 @@ def finalize_batch(batch: dict, fill_depth: bool = False) -> dict:
     FILLED crop, ycbv_pbr.py:483-486), and the cld_rgb_nrm gather.
 
     Args:
-      batch: dict with rgb_u8 [B,S,S,3], dpt_m [B,S,S],
-        dpt_filled [B,S,S], K_crop [B,3,3], choose [B,N] (+ GT keys
-        passed through untouched).
+      batch: dict with rgb_u8 [B,S,S,3], depth as EITHER dpt_u16
+        [B,S,S] uint16 + dpt_scale [B] f32 (the loader's compact ship
+        format, round 5: dpt_m = dpt_u16 / dpt_scale computed here at
+        half the H2D bytes) OR a precomputed dpt_m [B,S,S] f32 (serving
+        clients), dpt_filled [B,S,S], K_crop [B,3,3], choose [B,N]
+        (+ GT keys, widened to i32 here when the loader shipped them
+        narrow).
       fill_depth: whether dpt_filled differs from dpt_m (ycbv).
 
     Returns dict with rgb [B,S,S,3] f32, cld_rgb_nrm [B,N,9],
@@ -180,7 +184,11 @@ def finalize_batch(batch: dict, fill_depth: bool = False) -> dict:
 
     rgb = (batch["rgb_u8"].astype(jnp.float32) / 255.0
            - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-    dpt = batch["dpt_m"]
+    if "dpt_u16" in batch:
+        dpt = batch["dpt_u16"].astype(jnp.float32) \
+            / batch["dpt_scale"][:, None, None]
+    else:
+        dpt = batch["dpt_m"]
     dpt_n = batch["dpt_filled"] if fill_depth else dpt
 
     xyz_img = jax.vmap(depth_to_xyz)(dpt, batch["K_crop"])
@@ -205,7 +213,12 @@ def finalize_batch(batch: dict, fill_depth: bool = False) -> dict:
     for k in ("labels", "origin_labels", "match_idx", "visible_flag",
               "RT", "cls_id", "det"):
         if k in batch:
-            out[k] = batch[k]
+            # the loader ships labels/origin_labels u8 and match_idx
+            # u16; widen to the i32 the losses index with (free: XLA
+            # fuses the convert into the first consumer)
+            out[k] = batch[k].astype(jnp.int32) \
+                if k in ("labels", "origin_labels", "match_idx") \
+                else batch[k]
     return out
 
 

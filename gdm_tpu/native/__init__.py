@@ -77,6 +77,8 @@ def _get_lib():
         fp = ctypes.POINTER(ctypes.c_float)
         ip = ctypes.POINTER(ctypes.c_int32)
         lib.gdm_knn.argtypes = [fp, i32, fp, i32, i32, ip, fp]
+        lib.gdm_radius_nn1.argtypes = [fp, i32, fp, i32,
+                                       ctypes.c_float, ip, fp]
         lib.gdm_knn_batch.argtypes = [fp, i32, i32, fp, i32, i32, ip]
         lib.gdm_grid_subsample.argtypes = [fp, i32, fp, i32,
                                            ctypes.c_float, fp, fp]
@@ -131,6 +133,37 @@ def knn(support: np.ndarray, query: np.ndarray, k: int,
         dist.ctypes.data_as(fp) if return_dist else
         ctypes.cast(None, fp))
     return (idx, dist) if return_dist else idx
+
+
+def radius_nn(support: np.ndarray, query: np.ndarray,
+              radius: float) -> np.ndarray:
+    """Radius-bounded exact 1-NN: [n,3] support, [m,3] query -> idx [m]
+    with -1 where no support point lies within `radius` (inclusive).
+
+    Output contract == ``knn(support, query, 1)`` followed by discarding
+    matches with dist > radius — but via a 27-cell voxel-grid lookup
+    instead of a KD-tree build + backtracking search, which is ~10x
+    faster on the hot GT-correspondence path (data/gt_gen.py: matches
+    beyond nn_dist_th are rejected anyway, linemod_pbr.py:641)."""
+    lib = _get_lib()
+    support = _as_f32(support)
+    query = _as_f32(query)
+    m = query.shape[0]
+    if len(support) == 0:
+        raise ValueError(f"radius_nn: empty support (radius {radius})")
+    if lib is None:
+        idx, dist = knn(support, query, 1, return_dist=True)
+        idx = idx[:, 0].astype(np.int32, copy=True)
+        idx[dist[:, 0] > radius] = -1
+        return idx
+    idx = np.empty(m, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.gdm_radius_nn1(
+        support.ctypes.data_as(fp), support.shape[0],
+        query.ctypes.data_as(fp), m, ctypes.c_float(radius),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.cast(None, fp))
+    return idx
 
 
 def knn_batch(support: np.ndarray, query: np.ndarray, k: int) -> np.ndarray:

@@ -36,21 +36,26 @@ _INFER = "infer.bin"
 _META = "meta.json"
 
 # bump when the artifact contract changes shape
-_FORMAT_VERSION = 1
+# (2: depth ships as uint16 counts + per-sample scale, round 5)
+_FORMAT_VERSION = 2
 
 
 def raw_input_spec(batch: int, im_size: int, n_sample: int,
                    fill_depth: bool, with_det: bool = True) -> dict:
     """ShapeDtypeStruct spec of the host-loader arrays the finalize
-    stage consumes (data/dataset.PoseDataset output layout)."""
+    stage consumes (data/dataset.PoseDataset output layout: depth as
+    raw uint16 counts + a per-sample counts-per-metre divisor — half
+    the request/H2D bytes of a float plane; a client holding float
+    metres quantises with dpt_u16 = round(dpt_m * dpt_scale))."""
     import jax
     import jax.numpy as jnp
 
     s = {
         "rgb_u8": jax.ShapeDtypeStruct((batch, im_size, im_size, 3),
                                        jnp.uint8),
-        "dpt_m": jax.ShapeDtypeStruct((batch, im_size, im_size),
-                                      jnp.float32),
+        "dpt_u16": jax.ShapeDtypeStruct((batch, im_size, im_size),
+                                        jnp.uint16),
+        "dpt_scale": jax.ShapeDtypeStruct((batch,), jnp.float32),
         "K_crop": jax.ShapeDtypeStruct((batch, 3, 3), jnp.float32),
         "choose": jax.ShapeDtypeStruct((batch, n_sample), jnp.int32),
     }
@@ -81,6 +86,9 @@ def synthetic_raw(spec: dict) -> dict:
     for k in ("dpt_m", "dpt_filled"):
         if k in raw:
             raw[k] += np.float32(0.5)
+    if "dpt_u16" in raw:                # 5000 counts / 10000 = 0.5 m
+        raw["dpt_u16"] += np.uint16(5000)
+        raw["dpt_scale"] += np.float32(10000.0)
     if "K_crop" in raw:
         im = raw["rgb_u8"].shape[1] if "rgb_u8" in raw else 256
         raw["K_crop"] += np.asarray(

@@ -60,7 +60,8 @@ def main():
 
     raw = {
         "rgb_u8": rng.randint(0, 255, (B, IM, IM, 3)).astype(np.uint8),
-        "dpt_m": (0.4 + 0.2 * rng.rand(B, IM, IM)).astype(np.float32),
+        "dpt_u16": (4000 + 2000 * rng.rand(B, IM, IM)).astype(np.uint16),
+        "dpt_scale": np.full((B,), 10000.0, np.float32),
         "K_crop": np.tile(K, (B, 1, 1)),
         "choose": rng.randint(0, IM * IM, (B, NS)).astype(np.int32),
         "det": np.ones((B,), np.int32),

@@ -568,6 +568,46 @@ def test_train_all_objects(monkeypatch_module, bop_root_2obj,
         assert disp < 1e-3, (key, disp)
 
 
+@pytest.mark.slow
+def test_train_model_shards_dgcnn_matches_dense(monkeypatch_module,
+                                                bop_root,  # noqa: F811
+                                                tmp_path_factory):
+    """`cli train --model-shards 2` on the DGCNN backbone (round 5:
+    the r4 exclusion lifted — sp.sharded_matching_loss now carries the
+    depth-scaled per-column radius + e0 pad) reproduces the N=1 run's
+    first-step metrics.  Same tolerance rationale as the flagship
+    variant of this test: match_loss is exact to f32 reduction order;
+    seg/total absorb approx-KNN layout drift."""
+    import dataclasses
+    import json
+
+    from gdm_tpu.configs import base as cfg_base
+
+    cfg = test_data._mini_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, backbone="dgcnn"))
+    monkeypatch_module.setitem(cfg_base._PRESETS, "lmo", cfg)
+
+    def run(shards, root):
+        cli.main([
+            "train", "--dataset", "lmo", "--data-root", bop_root,
+            "--ckpt-root", root, "--cls-id", "1", "--epochs", "1",
+            "--batch-size", "2", "--devices", "2", "--num-workers", "2",
+            "--model-shards", str(shards),
+        ])
+        with open(osp.join(root, "metrics", "ape.jsonl")) as f:
+            return [json.loads(line) for line in f]
+
+    base = run(1, str(tmp_path_factory.mktemp("dgck_dense")))
+    sp = run(2, str(tmp_path_factory.mktemp("dgck_sp")))
+    r0b = next(r for r in base if r.get("it") == 0)
+    r0s = next(r for r in sp if r.get("it") == 0)
+    assert r0s["match_loss"] == pytest.approx(r0b["match_loss"],
+                                              rel=1e-3)
+    assert r0s["seg_loss"] == pytest.approx(r0b["seg_loss"], rel=2e-2)
+    assert r0s["loss"] == pytest.approx(r0b["loss"], rel=2e-2)
+
+
 def test_train_then_eval_dgcnn(monkeypatch_module, bop_root,
                                tmp_path_factory):  # noqa: F811
     """The DGCNN backbone variant drives through the same CLI."""

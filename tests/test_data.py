@@ -170,6 +170,15 @@ class TestDataset:
         assert s["choose"].shape == (N_SAMPLE,)
         assert s["match_idx"].shape == (N_SAMPLE,)
         assert s["visible_flag"].shape == (N_MESH,)
+        # compact ship contract (round 5): uint16 depth counts +
+        # per-sample scale, narrow GT dtypes, no duplicated dpt_filled
+        # when fill is disabled (it was 1/3 of the ship bytes)
+        assert s["dpt_u16"].dtype == np.uint16
+        assert s["dpt_scale"].dtype == np.float32
+        assert s["labels"].dtype == np.uint8
+        assert s["origin_labels"].dtype == np.uint8
+        assert s["match_idx"].dtype == np.uint16
+        assert "dpt_filled" not in s and "dpt_m" not in s
         # some fg point matched to a real vertex (not the pad id)
         fg = s["labels"] > 0
         assert fg.any()
@@ -184,9 +193,10 @@ class TestDataset:
         RT = s["RT"]
         vv, uu = np.mgrid[:IN_SIZE, :IN_SIZE].astype(np.float32)
         Kc = s["K_crop"]
-        x = (uu - Kc[0, 2]) * s["dpt_m"] / Kc[0, 0]
-        y = (vv - Kc[1, 2]) * s["dpt_m"] / Kc[1, 1]
-        cld = np.stack([x, y, s["dpt_m"]], -1).reshape(-1, 3)[s["choose"]]
+        dpt_m = s["dpt_u16"].astype(np.float32) / s["dpt_scale"]
+        x = (uu - Kc[0, 2]) * dpt_m / Kc[0, 0]
+        y = (vv - Kc[1, 2]) * dpt_m / Kc[1, 1]
+        cld = np.stack([x, y, dpt_m], -1).reshape(-1, 3)[s["choose"]]
         ok = (s["labels"] > 0) & (s["match_idx"] < N_MESH)
         mesh_cam = ds.mesh_pts[s["match_idx"][ok]] @ RT[:, :3].T + RT[:, 3]
         d = np.linalg.norm(mesh_cam - cld[ok], axis=1)
@@ -220,7 +230,8 @@ class TestDataset:
         assert np.all(s["RT"] == 0)
         # the inference-path inputs are bit-identical to test mode
         np.testing.assert_array_equal(s["rgb_u8"], st["rgb_u8"])
-        np.testing.assert_array_equal(s["dpt_m"], st["dpt_m"])
+        np.testing.assert_array_equal(s["dpt_u16"], st["dpt_u16"])
+        assert s["dpt_scale"] == st["dpt_scale"]
         np.testing.assert_array_equal(s["choose"], st["choose"])
         np.testing.assert_allclose(s["K_crop"], st["K_crop"], rtol=1e-6)
 

@@ -153,3 +153,67 @@ def test_select_tree_roundtrip(setup):
     got = select_tree(stacked, jnp.int32(1))
     np.testing.assert_allclose(np.asarray(got.xyz),
                                np.asarray(meshes[1].xyz))
+
+
+def test_grouped_scan_matches_whole_vmap():
+    """The batch-ceiling lift (round 5, VERDICT r4 item 3): infer()
+    scans vmapped groups when B > group, so weight-gather temporaries
+    are bounded at group x params.  The scan path must route and
+    compute identically to the whole-batch vmap — checked with a tiny
+    module at B=128 / group=16 (the production shape arithmetic) and
+    B=8 / group=2 vs group=8."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from gdm_tpu.eval.multimodel import make_multi_model_infer, \
+        stack_trees
+
+    import collections
+
+    M = collections.namedtuple("M", ["bias", "xyz"])
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, inputs, mesh, train=False):
+            w = self.param("w", nn.initializers.normal(), (3, 4))
+            # [1, N, 3] @ [3, 4] + mesh bias -> routing-sensitive output
+            return {"y": inputs["x"] @ w + mesh.bias}
+
+    model = Tiny()
+    rng = np.random.RandomState(0)
+    n_obj = 5
+    variables = []
+    meshes = []
+    for i in range(n_obj):
+        v = model.init(jax.random.PRNGKey(i),
+                       {"x": jnp.zeros((1, 6, 3))},
+                       M(jnp.float32(0.0), jnp.zeros(3)))
+        variables.append(jax.tree_util.tree_map(
+            lambda a: a + i, v))                  # distinct per object
+        meshes.append(M(jnp.float32(10.0 * i), jnp.zeros(3)))
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+
+    def fit_fn(cld, out, mesh_xyz, det):
+        # deterministic per-element reduction of the routed output
+        return out["y"][0].sum(0) + det
+
+    for b, group in ((8, 2), (128, 16)):
+        x = jnp.asarray(rng.randn(b, 6, 3).astype(np.float32))
+        obj_idx = jnp.asarray(rng.randint(0, n_obj, b).astype(np.int32))
+        cld = jnp.zeros((b, 6, 3))
+        det = jnp.asarray(rng.rand(b).astype(np.float32))
+        whole = make_multi_model_infer(model, fit_fn=fit_fn, group=b)
+        grouped = make_multi_model_infer(model, fit_fn=fit_fn,
+                                         group=group)
+        got_w = np.asarray(whole(stacked_vars, stacked_mesh, {"x": x},
+                                 cld, obj_idx, det))
+        got_g = np.asarray(grouped(stacked_vars, stacked_mesh, {"x": x},
+                                   cld, obj_idx, det))
+        np.testing.assert_array_equal(got_g, got_w)
+        # routing really depends on obj_idx (bias separates objects)
+        per0 = np.asarray(x[0] @ np.asarray(
+            variables[int(obj_idx[0])]["params"]["w"])).sum(0) \
+            + 6 * 10.0 * int(obj_idx[0]) + float(det[0])
+        np.testing.assert_allclose(got_g[0], per0, rtol=1e-5)

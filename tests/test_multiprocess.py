@@ -90,6 +90,70 @@ def test_two_process_loader_step_gather(tmp_path):
     assert r[1]["merged"] == expect
 
 
+def test_two_process_combined_axis_mesh(tmp_path):
+    """2 processes x (data=2, model=2) global mesh with the MODEL axis
+    crossing the process boundary (VERDICT r4 item 5) — the
+    configuration a real pod runs that single-process sp tests and the
+    2-process data-parallel test never executed.  The sharded matching
+    loss's LSE merges become cross-process collectives; gradients flow
+    through them; the eval argmax + gather leg merges correctly.  See
+    tests/_mp_sp_worker.py."""
+    port = _free_port()
+    outs = [tmp_path / f"sp_r{i}.json" for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    log_files = [open(tmp_path / f"sp_log{i}.txt", "wb")
+                 for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", osp.join(TESTS, "_mp_sp_worker.py"),
+             str(i), "2", str(port), str(outs[i])],
+            env=env, cwd=REPO,
+            stdout=log_files[i], stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    try:
+        for p in procs:
+            p.wait(timeout=540)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        for f in log_files:
+            f.close()
+    for i, p in enumerate(procs):
+        log = open(tmp_path / f"sp_log{i}.txt",
+                   errors="replace").read()
+        assert p.returncode == 0, log[-3000:]
+
+    r = [json.loads(open(o).read()) for o in outs]
+    r.sort(key=lambda d: d["rank"])
+    assert [d["rank"] for d in r] == [0, 1]
+    # the layout really places the model axis across processes
+    assert all(d["model_axis_spans_processes"] == 2 for d in r)
+
+    # sharded loss + updated params: identical on both ranks (the
+    # cross-process collectives agreed) and matching the dense
+    # single-device reference
+    assert r[0]["loss_sp"] == r[1]["loss_sp"]
+    np.testing.assert_array_equal(np.asarray(r[0]["w2_sp"]),
+                                  np.asarray(r[1]["w2_sp"]))
+    for d in r:
+        assert d["loss_sp"] == pytest.approx(d["loss_ref"], rel=2e-5)
+        np.testing.assert_allclose(np.asarray(d["w2_sp"]),
+                                   np.asarray(d["w2_ref"]),
+                                   rtol=1e-4, atol=1e-6)
+
+    # eval leg: merged gathered predictions equal the dense argmax
+    for d in r:
+        assert set(d["merged_idx"]) == {"0", "1"}
+        for part in d["merged_idx"].values():
+            np.testing.assert_array_equal(np.asarray(part),
+                                          np.asarray(d["dense_idx"]))
+
+
 def _run_phase(tmp_path, phase, ckpt_dir, tag):
     """Launch one 2-process jax.distributed phase of the resume
     rehearsal; returns both ranks' result JSONs."""

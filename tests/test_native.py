@@ -54,6 +54,46 @@ class TestKnn:
         np.testing.assert_array_equal(idx[:, 0], np.arange(100))
 
 
+class TestRadiusNn:
+    def test_matches_knn_plus_threshold(self, lib_available):
+        """The grid kernel's contract: identical to exact 1-NN followed
+        by dist>radius rejection (the GT-gen semantics it replaces)."""
+        rng = np.random.RandomState(0)
+        # 2e-4 forces the oversize-grid KD fallback branch (the randn
+        # extent / radius blows past the dense-cell cap)
+        for radius in (0.05, 0.3, 1.0, 2e-4):
+            support = rng.randn(700, 3).astype(np.float32)
+            query = (rng.randn(900, 3) * 1.5).astype(np.float32)
+            got = native.radius_nn(support, query, radius)
+            idx, dist = native.knn(support, query, 1, return_dist=True)
+            want = idx[:, 0].astype(np.int32, copy=True)
+            want[dist[:, 0] > radius] = -1
+            np.testing.assert_array_equal(got, want)
+
+    def test_fallback_matches_c(self, monkeypatch, lib_available):
+        if not lib_available:
+            pytest.skip("no toolchain: nothing to compare against")
+        rng = np.random.RandomState(5)
+        support = rng.randn(300, 3).astype(np.float32)
+        query = rng.randn(400, 3).astype(np.float32)
+        c = native.radius_nn(support, query, 0.2)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_build_failed", True)
+        np.testing.assert_array_equal(
+            c, native.radius_nn(support, query, 0.2))
+
+    def test_all_out_of_radius(self):
+        support = np.zeros((4, 3), np.float32)
+        query = np.full((3, 3), 5.0, np.float32)
+        assert (native.radius_nn(support, query, 0.1) == -1).all()
+
+    def test_boundary_inclusive(self):
+        """dist == radius is a keep (GT-gen rejects strictly-greater)."""
+        support = np.array([[0.0, 0, 0]], np.float32)
+        query = np.array([[0.5, 0, 0]], np.float32)
+        assert native.radius_nn(support, query, 0.5)[0] == 0
+
+
 class TestGridSubsample:
     def test_single_voxel_barycenter(self):
         pts = np.array([[0.0, 0, 0], [0.2, 0, 0], [0.1, 0.2, 0]],

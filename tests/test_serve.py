@@ -38,8 +38,9 @@ def setup():
     raw = {
         "rgb_u8": rng.randint(0, 255, (BATCH, IM, IM, 3)).astype(
             np.uint8),
-        "dpt_m": (0.4 + 0.1 * rng.rand(BATCH, IM, IM)).astype(
-            np.float32),
+        "dpt_u16": (4000 + 1000 * rng.rand(BATCH, IM, IM)).astype(
+            np.uint16),
+        "dpt_scale": np.full((BATCH,), 10000.0, np.float32),
         "K_crop": np.tile(K, (BATCH, 1, 1)),
         "choose": rng.randint(0, IM * IM, (BATCH, N_SAMPLE)).astype(
             np.int32),
@@ -198,7 +199,7 @@ def test_server_routes_and_errors(setup, pose_server):
     with pytest.raises(RuntimeError, match="unknown object"):
         request_poses(url, raw, obj="nope")
     bad = dict(raw)
-    bad["dpt_m"] = raw["dpt_m"].astype(np.float64)      # wrong dtype
+    bad["dpt_u16"] = raw["dpt_u16"].astype(np.int32)    # wrong dtype
     with pytest.raises(RuntimeError, match="dtype"):
         request_poses(url, bad)
     with pytest.raises(RuntimeError, match="missing"):
@@ -356,7 +357,8 @@ def test_artifact_platform_fallback_and_fill(artifact_dir):
     for k in a:
         assert a[k].shape == b[k].shape and a[k].dtype == b[k].dtype
         np.testing.assert_array_equal(a[k], b[k])
-    assert float(a["dpt_m"].min()) > 0          # non-degenerate depth
+    assert int(a["dpt_u16"].min()) > 0          # non-degenerate depth
+    assert float(a["dpt_scale"].min()) > 0
     assert float(a["K_crop"][0, 0, 0]) > 0      # non-degenerate fx
 
     poses = np.asarray(art.run(a))

@@ -140,6 +140,67 @@ def test_sharded_matching_loss_grads_match_small_mesh(sym):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_matching_loss_dgcnn_matches():
+    """DGCNN-variant branch (round 5, VERDICT r4 item 4): e0 pad
+    column + per-COLUMN depth-scaled radius.  Sharded values AND
+    gradients must reproduce pointwise_matching_loss(pad_onehot=True,
+    rt=..., depth_scaled_r_mm=...) wherever the columns land."""
+    from scipy.spatial.transform import Rotation
+
+    mesh2d = make_mesh_2d(jax.devices("cpu")[:2], data=1, model=2)
+    args = _problem(b=2, n=48, c=16, mcols=32, seed=6)
+    rgbd, meshf, mesh_xyz, labels, match_idx, vis = args
+    r_mm = 40.0   # big enough to make some positives at these scales
+    rng = np.random.RandomState(13)
+    rt = np.stack([np.hstack([
+        Rotation.random(random_state=i).as_matrix(),
+        np.array([[0.0], [0.0], [0.5 + 0.1 * i]])])
+        for i in range(rgbd.shape[0])]).astype(np.float32)
+    placed = _place(mesh2d, *args)
+    rt_s = jax.device_put(
+        rt, NamedSharding(mesh2d, P("data")))
+
+    def ref_loss(f, g):
+        return pointwise_matching_loss(
+            f, g, jnp.asarray(mesh_xyz), jnp.asarray(labels),
+            jnp.asarray(match_idx), jnp.asarray(vis), 0.0,
+            pad_onehot=True, rt=jnp.asarray(rt),
+            depth_scaled_r_mm=r_mm)
+
+    def sp_loss(f, g):
+        return sharded_matching_loss(
+            f, g, placed[2], placed[3], placed[4], placed[5],
+            0.0, mesh2d, pad_onehot=True, rt=rt_s,
+            depth_scaled_r_mm=r_mm)
+
+    ref = ref_loss(jnp.asarray(rgbd), jnp.asarray(meshf))
+    got = sp_loss(placed[0], placed[1])
+    assert np.isfinite(float(ref))
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+    # a radius actually separating columns (not all-pos/all-neg):
+    # the depth-scaled mask must differ from any scalar-radius mask
+    from gdm_tpu.losses.matching import (
+        matching_positive_mask,
+        matching_positive_mask_depth_scaled,
+    )
+
+    pos_ds = matching_positive_mask_depth_scaled(
+        jnp.asarray(match_idx[0]), jnp.asarray(mesh_xyz),
+        jnp.asarray(vis[0]), jnp.asarray(rt[0]), r_mm)
+    pos_sc = matching_positive_mask(
+        jnp.asarray(match_idx[0]), jnp.asarray(mesh_xyz),
+        jnp.asarray(vis[0]), r_mm / 1000.0 * 0.5)
+    assert bool(jnp.any(pos_ds)) and bool(jnp.any(pos_ds != pos_sc))
+
+    gr_f, gr_g = jax.grad(ref_loss, argnums=(0, 1))(
+        jnp.asarray(rgbd), jnp.asarray(meshf))
+    gs_f, gs_g = jax.grad(sp_loss, argnums=(0, 1))(placed[0], placed[1])
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gr_f),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs_g), np.asarray(gr_g),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_sharded_matching_loss_grads_match():
     mesh2d = make_mesh_2d(jax.devices("cpu"), data=2, model=4)
