@@ -96,9 +96,12 @@ def main():
     url = f"http://{host}:{port}"
 
     try:
-        for name, req in (("b=1 (padded)",
-                           {k: v[:1] for k, v in raw.items()}),
-                          (f"b={B} (full)", raw)):
+        import json
+
+        stats = {}
+        for tag, name, req in (("b1", "b=1 (padded)",
+                                {k: v[:1] for k, v in raw.items()}),
+                               ("full", f"b={B} (full)", raw)):
             request_poses(url, req)                       # warm
             lat, dev = [], []
             for _ in range(args.reps):
@@ -111,6 +114,10 @@ def main():
             print(f"{name:14s} e2e p50 {lat[n // 2]:7.2f} ms  "
                   f"p95 {lat[int(n * 0.95)]:7.2f} ms  "
                   f"device-call {np.mean(dev):7.2f} ms", flush=True)
+            stats[f"serve_p50_ms_{tag}"] = round(lat[n // 2], 2)
+            stats[f"serve_p95_ms_{tag}"] = round(lat[int(n * 0.95)], 2)
+        # machine-readable last line: bench.py's serve section parses it
+        print(json.dumps(stats), flush=True)
     finally:
         server.shutdown()
         server.server_close()

@@ -54,7 +54,13 @@ def _render_frame(mesh_fps, pose, K):
 
 @pytest.fixture(scope="module")
 def bop_root(tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("mini_bop"))
+    return build_mini_bop_root(str(tmp_path_factory.mktemp("mini_bop")))
+
+
+def build_mini_bop_root(root):
+    """Fabricate the miniature single-object BOP tree at `root` (plain
+    function so subprocess workers — e.g. the multihost train smoke —
+    can build it without pytest fixtures)."""
     rng = np.random.RandomState(3)
     mesh = make_object(N_MESH, rng, radius=0.05)
     os.makedirs(osp.join(root, "kps"))
