@@ -995,8 +995,7 @@ def _infer_stacked(args):
     The default per-object infer loop (reference semantics, ~4.5x
     faster when frames CAN be grouped by object) stays the default;
     this mode is for streams where grouping is impossible (e.g. a live
-    feed of mixed detections).  Single-process, randla_spline backbone,
-    no --refine (poses come from the standard masked-Kabsch fit).
+    feed of mixed detections).  Single-process, randla_spline backbone.
     """
     import jax
     import jax.numpy as jnp
@@ -1021,8 +1020,9 @@ def _infer_stacked(args):
     if args.multihost or jax.process_count() > 1:
         raise SystemExit("--stacked is single-process (use the default "
                          "per-object loop for multihost runs)")
-    if args.refine:
-        raise SystemExit("--stacked does not support --refine")
+    # --refine supported since round 5: the same per-element
+    # apply_refine the per-object fit runs, with a PER-OBJECT ICP gate
+    # table indexed by each element's class (eval/multimodel.py)
     if getattr(args, "model_shards", 1) > 1:
         raise SystemExit("--stacked and --model-shards are exclusive")
     cfg = get_config(args.dataset, args.opt)
@@ -1039,7 +1039,7 @@ def _infer_stacked(args):
     targets = _load_targets(args.targets) if args.targets else None
 
     # per-object setup: dataset + mesh graph + checkpointed variables
-    parts, meshes, all_vars = [], [], []
+    parts, meshes, all_vars, icp_gates = [], [], [], []
     model = None
     state_template = None
     raw_keys = {"rgb_u8", "dpt_u16", "dpt_scale", "dpt_m", "K_crop",
@@ -1095,6 +1095,10 @@ def _infer_stacked(args):
                          "batch_stats": state.batch_stats})
         # sym_idx is a loss-only field; keep the stacked mesh uniform
         meshes.append(mesh_arr._replace(sym_idx=None))
+        # per-object ICP gate (nn_dist_th x diameter convention, same
+        # rule as the per-object eval loop)
+        icp_gates.append(args.icp_reject if args.icp_reject is not None
+                         else cfg.data.nn_dist_th * diameter_m)
         parts.append((cls_id, ds))
     if not parts:
         raise SystemExit("nothing inferred (no detections matched)")
@@ -1107,7 +1111,8 @@ def _infer_stacked(args):
     import math
 
     infer_fn = make_multi_model_infer(
-        model, group=math.gcd(batch_size, 16))
+        model, group=math.gcd(batch_size, 16), refine=args.refine)
+    icp_table = jnp.asarray(np.asarray(icp_gates, np.float32))
     mixed = _MixedInferDataset(parts)
     dl = DataLoader(mixed, batch_size, shuffle=False, drop_last=False,
                     num_workers=args.num_workers,
@@ -1132,7 +1137,7 @@ def _infer_stacked(args):
         det = (fin["det"].astype(jnp.float32) if "det" in fin
                else jnp.ones((batch_size,), jnp.float32))
         call = lambda: infer_fn(stacked_vars, stacked_mesh, inputs, cld,
-                                obj_idx, det)
+                                obj_idx, det, icp_table)
         if not warm:      # absorb the one compile; CSV times = compute
             np.asarray(call())
             warm = True

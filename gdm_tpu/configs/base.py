@@ -28,6 +28,15 @@ class DataConfig:
     fill_depth: bool = False            # ycbv: ip_basic on the crop
     cache_visibility: bool = True       # cache per-anno HPR hull (exact;
     #   the pose never changes for an annotation — ~n_mesh/8 B per anno)
+    hpr_radius_param: float = 2.0   # HPR flip-radius exponent for GT
+    #   visibility (ops/visibility.visible_points).  The reference uses
+    #   pi (compute_visibility.py:131), where qhull's fixed precision
+    #   marks much of the self-occluded backside visible; 2.0 gives the
+    #   geometrically correct visible set.  It changes the GT
+    #   correspondence LABELS, i.e. the training distribution — for a
+    #   strict reference-distribution replication run
+    #   `--opt data.hpr_radius_param=3.141592653589793`.  Convergence
+    #   A/B on synthetic data: docs/CONVERGENCE.md (round 5).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -212,12 +212,15 @@ class PoseDataset:
         copy (its own cache).  Called lazily by pose_gt_info only after
         its empty-foreground check, so invalid samples never pay the hull.
         """
+        rp = self.cfg.data.hpr_radius_param
         if self._vis_cache is None:
-            return pose_visibility(rec.pose, self.mesh_pts)
+            return pose_visibility(rec.pose, self.mesh_pts,
+                                   radius_param=rp)
         key = id(rec)
         packed = self._vis_cache.get(key)
         if packed is None:
-            flag = pose_visibility(rec.pose, self.mesh_pts)
+            flag = pose_visibility(rec.pose, self.mesh_pts,
+                                   radius_param=rp)
             self._vis_cache[key] = np.packbits(flag)
             return flag
         return np.unpackbits(packed, count=len(self.mesh_pts))

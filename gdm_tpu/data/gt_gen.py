@@ -17,17 +17,21 @@ from gdm_tpu import native
 from gdm_tpu.ops.visibility import visible_points
 
 
-def pose_visibility(pose: np.ndarray, mesh_pts: np.ndarray) -> np.ndarray:
+def pose_visibility(pose: np.ndarray, mesh_pts: np.ndarray,
+                    radius_param: float = 2.0) -> np.ndarray:
     """Visible-vertex flag [m] uint8 for a GT pose (HPR hull).
 
-    Depends only on (pose, mesh_pts) — NOT on the sampled scene points —
-    so for a fixed annotation it is constant across epochs and cacheable
-    (the convex hull is the dominant host-loader cost; see
-    PoseDataset._visibility).
+    Depends only on (pose, mesh_pts, radius_param) — NOT on the sampled
+    scene points — so for a fixed annotation it is constant across
+    epochs and cacheable (the convex hull is the dominant GT-gen host
+    cost; see PoseDataset._visibility).  `radius_param` = the HPR flip
+    exponent (data.hpr_radius_param; pi reproduces the reference's
+    visible set, see ops/visibility.visible_points).
     """
     R, t = pose[:, :3], pose[:, 3:4]
     cam_center_model = -R.T @ t                       # inverse-pose origin
-    vis_idx = visible_points(mesh_pts, cam_center_model.ravel())
+    vis_idx = visible_points(mesh_pts, cam_center_model.ravel(),
+                             radius_param=radius_param)
     visible_flag = np.zeros(len(mesh_pts), np.uint8)
     visible_flag[vis_idx] = 1
     return visible_flag

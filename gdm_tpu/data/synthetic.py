@@ -41,6 +41,7 @@ def render_sample(
     nn_dist_th: float = 0.01,
     splat: int = 2,
     render_pts: np.ndarray | None = None,
+    hpr_radius_param: float = 2.0,
 ):
     """Render one training-style sample dict (host side).
 
@@ -111,8 +112,12 @@ def render_sample(
     nrm_pt = nrm_img.reshape(-1, 3)[choose]
     labels_pt = mask.ravel()[choose].astype(np.int32)
 
+    from gdm_tpu.data.gt_gen import pose_visibility
+
     labels, match_idx, visible_flag, valid = pose_gt_info(
-        cld, labels_pt, pose, pts, nn_dist_th=nn_dist_th)
+        cld, labels_pt, pose, pts, nn_dist_th=nn_dist_th,
+        visible_flag=lambda: pose_visibility(
+            pose, pts, radius_param=hpr_radius_param))
 
     return {
         "rgb": rgb_n.astype(np.float32),
@@ -137,6 +142,7 @@ def make_batch(
     n_sample: int = 4096,
     seed: int = 0,
     nn_dist_th: float = 0.01,
+    hpr_radius_param: float = 2.0,
 ):
     """Stacked batch of synthetic samples with random poses.
 
@@ -158,7 +164,8 @@ def make_batch(
                       rng.uniform(0.35, 0.5)])
         pose = np.hstack([R, t[:, None]]).astype(np.float32)
         s = render_sample(mesh_fps, pose, K, im_size, n_sample, rng=rng,
-                          nn_dist_th=nn_dist_th, render_pts=render_pts)
+                          nn_dist_th=nn_dist_th, render_pts=render_pts,
+                          hpr_radius_param=hpr_radius_param)
         samples.append(s)
     keys = [k for k in samples[0] if k != "valid"]
     batch_dict = {k: np.stack([s[k] for s in samples]) for k in keys}

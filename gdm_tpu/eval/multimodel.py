@@ -55,7 +55,9 @@ def select_tree(stacked, index):
             leaf, index, axis=0, keepdims=False), stacked)
 
 
-def make_multi_model_infer(model, fit_fn=None, group: int = 16):
+def make_multi_model_infer(model, fit_fn=None, group: int = 16,
+                           refine: str | None = None,
+                           icp_iters: int = 10):
     """Build infer(stacked_vars, stacked_mesh, inputs, obj_idx) -> poses.
 
     Args:
@@ -79,11 +81,20 @@ def make_multi_model_infer(model, fit_fn=None, group: int = 16):
         (pyramid included — build with data.pipeline.assemble_inputs).
       cld: [B, N, 3]; obj_idx: [B] int32 position in the stacked object
         axis (NOT the dataset cls_id); det: [B] 0/1.
+      icp_reject (call arg): [n_objects] f32 per-object ICP gate in
+        metres (nn_dist_th x diameter convention) — per ELEMENT via its
+        obj_idx, so mixed batches refine with each object's own gate.
+        Pass None (default) when refine is None.
       B must be a multiple of min(group, B).
+      refine: None | 'ransac' | 'icp' | 'meanshift' — the same
+        per-element refinement fit_poses_from_outputs applies
+        (eval/pose_fit.apply_refine), added round 5 so `infer
+        --stacked --refine icp` matches the per-object loop.
     """
-    from gdm_tpu.eval.pose_fit import fit_pose_single
+    from gdm_tpu.eval.pose_fit import apply_refine, fit_pose_single
 
-    def one(stacked_vars, stacked_mesh, inputs_b, cld_b, oi, det_b):
+    def one(stacked_vars, stacked_mesh, icp_gates, inputs_b, cld_b, oi,
+            det_b):
         variables = select_tree(stacked_vars, oi)
         mesh = select_tree(stacked_mesh, oi)
         inputs_1 = jax.tree_util.tree_map(
@@ -91,21 +102,31 @@ def make_multi_model_infer(model, fit_fn=None, group: int = 16):
         out = model.apply(variables, inputs_1, mesh, train=False)
         if fit_fn is not None:
             return fit_fn(cld_b, out, mesh.xyz, det_b)
-        rt, _, _ = fit_pose_single(
+        rt, w, idx = fit_pose_single(
             cld_b, out["seg"][0], out["mesh"], out["rgbd"][0], mesh.xyz,
             det_b)
+        if refine is not None:
+            rt = apply_refine(rt, w, idx, cld_b, mesh.xyz, refine,
+                              icp_iters=icp_iters,
+                              icp_reject_dist=icp_gates[oi])
         return rt
 
     @jax.jit
-    def infer(stacked_vars, stacked_mesh, inputs, cld, obj_idx, det):
+    def infer(stacked_vars, stacked_mesh, inputs, cld, obj_idx, det,
+              icp_reject=None):
         b = obj_idx.shape[0]
         g = min(group, b)
         assert b % g == 0, (b, g)
+        if icp_reject is None:
+            icp_reject = jnp.full(
+                (jax.tree_util.tree_leaves(stacked_vars)[0].shape[0],),
+                0.01, jnp.float32)
 
         def vmapped(inputs_c, cld_c, oi_c, det_c):
             return jax.vmap(
-                one, in_axes=(None, None, 0, 0, 0, 0)
-            )(stacked_vars, stacked_mesh, inputs_c, cld_c, oi_c, det_c)
+                one, in_axes=(None, None, None, 0, 0, 0, 0)
+            )(stacked_vars, stacked_mesh, icp_reject, inputs_c, cld_c,
+              oi_c, det_c)
 
         if b == g:
             return vmapped(inputs, cld, obj_idx, det)

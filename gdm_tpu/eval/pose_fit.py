@@ -125,25 +125,9 @@ def fit_poses_from_outputs(
     def one(c, s, r, d, pidx):
         rt, w, idx = fit_pose_single(
             c, s, end_points["mesh"], r, mesh_xyz, d, idx=pidx)
-        if refine == "ransac":
-            # reference best_fit_transform_with_RANSAC option
-            # (pvn3d_eval_utils_kpls.py:79-124), vectorized
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(0), jnp.sum(idx).astype(jnp.int32))
-            A = jnp.take(mesh_xyz, idx, axis=0)
-            rt2 = ransac_kabsch(A, c, w, key)
-            rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
-        elif refine == "icp":
-            rt2 = icp_refine(mesh_xyz, c, w, rt, iters=icp_iters,
-                             reject_dist=icp_reject_dist)
-            rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
-        elif refine == "meanshift":
-            # cluster per-point translation votes t_i = p_i - R m_idx(i)
-            votes = c - jnp.take(mesh_xyz, idx, axis=0) @ rt[:, :3].T
-            center, _ = mean_shift(votes, bandwidth=0.05, mask=w)
-            rt = jnp.where(rt[2, 3] > -999.0,
-                           rt.at[:, 3].set(center), rt)
-        return rt
+        return apply_refine(rt, w, idx, c, mesh_xyz, refine,
+                            icp_iters=icp_iters,
+                            icp_reject_dist=icp_reject_dist)
 
     if pre_idx is None:
         pre_idx = jnp.zeros(cld.shape[:2], jnp.int32)
@@ -155,6 +139,33 @@ def fit_poses_from_outputs(
             cld, end_points["seg"], end_points["rgbd"], det, pre_idx)
     return jax.vmap(one)(
         cld, end_points["seg"], end_points["rgbd"], det, pre_idx)
+
+
+def apply_refine(rt, w, idx, c, mesh_xyz, refine,
+                 icp_iters: int = 10, icp_reject_dist=0.01):
+    """Single-element pose refinement step shared by the batched fit
+    and the stacked multi-model path (refine: None | 'ransac' | 'icp' |
+    'meanshift'; a miss-sentinel pose — rt[2,3] <= -999 — passes
+    through unrefined)."""
+    if refine == "ransac":
+        # reference best_fit_transform_with_RANSAC option
+        # (pvn3d_eval_utils_kpls.py:79-124), vectorized
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0), jnp.sum(idx).astype(jnp.int32))
+        A = jnp.take(mesh_xyz, idx, axis=0)
+        rt2 = ransac_kabsch(A, c, w, key)
+        rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
+    elif refine == "icp":
+        rt2 = icp_refine(mesh_xyz, c, w, rt, iters=icp_iters,
+                         reject_dist=icp_reject_dist)
+        rt = jnp.where(rt[2, 3] > -999.0, rt2, rt)
+    elif refine == "meanshift":
+        # cluster per-point translation votes t_i = p_i - R m_idx(i)
+        votes = c - jnp.take(mesh_xyz, idx, axis=0) @ rt[:, :3].T
+        center, _ = mean_shift(votes, bandwidth=0.05, mask=w)
+        rt = jnp.where(rt[2, 3] > -999.0,
+                       rt.at[:, 3].set(center), rt)
+    return rt
 
 
 def icp_refine(

@@ -64,6 +64,15 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     local_pos = [k for k, d in enumerate(devs) if d.process_index == me]
 
     def put(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            # e.g. a jnp.asarray made under a jax_default_device pin
+            # that points at ANOTHER process's device (a conftest pin
+            # leaking into a jax.distributed worker) — np.asarray would
+            # die with an opaque fetch error
+            raise ValueError(
+                "shard_batch (multi-process): got a jax.Array with "
+                f"non-addressable shards ({x.sharding}); pass this "
+                "process's LOCAL rows (numpy or locally-pinned arrays)")
         x = np.asarray(x)
         gshape = (x.shape[0] * nproc,) + x.shape[1:]
         rpd = gshape[0] // len(devs)   # rows per device

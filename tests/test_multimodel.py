@@ -217,3 +217,45 @@ def test_grouped_scan_matches_whole_vmap():
             variables[int(obj_idx[0])]["params"]["w"])).sum(0) \
             + 6 * 10.0 * int(obj_idx[0]) + float(det[0])
         np.testing.assert_allclose(got_g[0], per0, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_stacked_refine_matches_per_object(setup):
+    """`infer --stacked --refine icp` (round 5): the stacked path's
+    per-element apply_refine with a PER-OBJECT gate table must
+    reproduce the per-object loop's refined poses."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.multimodel import make_multi_model_infer, \
+        stack_trees
+    from gdm_tpu.eval.pose_fit import apply_refine, fit_pose_single
+
+    model, meshes, variables, datas = setup
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+    mixed_inputs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a[0], b[1]]),
+        datas[0][1], datas[1][1])
+    cld = jnp.stack([datas[0][0]["cld_rgb_nrm"][0, :, :3],
+                     datas[1][0]["cld_rgb_nrm"][1, :, :3]])
+    obj_idx = jnp.array([0, 1], jnp.int32)
+    det = jnp.ones((2,), jnp.float32)
+    gates = jnp.array([0.012, 0.02], jnp.float32)   # distinct per object
+
+    infer = make_multi_model_infer(model, refine="icp")
+    with jax.default_matmul_precision("float32"):
+        poses = np.asarray(infer(stacked_vars, stacked_mesh,
+                                 mixed_inputs, cld, obj_idx, det, gates))
+        for b, obj in enumerate([0, 1]):
+            inputs_1 = jax.tree_util.tree_map(
+                lambda x: x[b:b + 1], mixed_inputs)
+            out = model.apply(variables[obj], inputs_1, meshes[obj],
+                              train=False)
+            rt, w, idx = fit_pose_single(
+                cld[b], out["seg"][0], out["mesh"], out["rgbd"][0],
+                meshes[obj].xyz, det[b])
+            rt = apply_refine(rt, w, idx, cld[b], meshes[obj].xyz,
+                              "icp", icp_reject_dist=gates[obj])
+            np.testing.assert_allclose(poses[b], np.asarray(rt),
+                                       atol=1e-4)

@@ -205,7 +205,11 @@ def test_two_process_train_eval_every(tmp_path):
     r.sort(key=lambda d: d["rank"])
     assert [d["rank"] for d in r] == [0, 1]
     assert all(d["world"] == 2 for d in r)
-    assert all(d["ckpt_latest"] for d in r)      # rank-0 write, shared fs
+    # rank 0 writes the checkpoint; rank 1 may exit before the write
+    # lands (no barrier after the epoch loop), so only rank 0's view —
+    # and the parent's own check below — are load-bearing
+    assert r[0]["ckpt_latest"]
+    assert (ckpt_root / "checkpoints" / "ape" / "latest").exists()
     # metrics stream exists with train records AND the multihost
     # validation record (rank 0 local-mesh validation)
     with open(ckpt_root / "metrics" / "ape.jsonl") as f:
