@@ -826,8 +826,11 @@ def measure_stacked(data, mesh, model, variables, n_objects=8,
     import jax.numpy as jnp
 
     from gdm_tpu.data.pipeline import assemble_inputs
-    from gdm_tpu.eval.multimodel import make_multi_model_infer, \
-        stack_trees
+    from gdm_tpu.eval.multimodel import (
+        encode_stacked_mesh_feats,
+        make_multi_model_infer,
+        stack_trees,
+    )
     from gdm_tpu.models.geomatch import MeshArrays
 
     rng = np.random.RandomState(seed)
@@ -851,16 +854,24 @@ def measure_stacked(data, mesh, model, variables, n_objects=8,
                           .astype(np.int32))
     det = jnp.ones((batch,), jnp.float32)
 
+    # per-object mesh features precomputed once (what the CLI stacked
+    # path does); the per-element forwards gather instead of re-encode
+    stacked_feats = encode_stacked_mesh_feats(
+        model, all_vars, [MeshArrays(*[getattr(stacked_mesh, f)[i]
+                                       for f in ("xyz", "node_x",
+                                                 "neigh_idx", "basis",
+                                                 "slot")], sym_idx=None)
+                          for i in range(n_objects)])
     infer_fn = make_multi_model_infer(model, group=16)
     rt = None
     for _ in range(warmup):
         rt = infer_fn(stacked_vars, stacked_mesh, inputs, cld, obj_idx,
-                      det)
+                      det, mesh_feats=stacked_feats)
     float(jax.device_get(rt[-1, 0, 0]))   # drain the warmup queue
     t0 = time.perf_counter()
     for _ in range(iters):
         rt = infer_fn(stacked_vars, stacked_mesh, inputs, cld, obj_idx,
-                      det)
+                      det, mesh_feats=stacked_feats)
     float(jax.device_get(rt[-1, 0, 0]))   # proves the queue ran
     return iters * batch / (time.perf_counter() - t0)
 

@@ -29,11 +29,23 @@ paths matters.  Do NOT compare routing paths by fitted pose with random
 weights: random features give a near-isotropic Kabsch covariance whose
 SVD amplifies 1e-6 noise into arbitrary rotations.
 
-Throughput (measured, same chip): 52 frames/s at a mixed 16-frame batch
-over 21 objects (f32) — each element runs a b=1 forward against its own
-dynamic-sliced weights, so this path trades throughput for single-dispatch
-mixed batches; when frames can be grouped by object, the CLI evaluator's
-per-object bucketing (one shared compile, b=8) is ~4.5x faster.
+Throughput (measured, same chip): each element runs a b=1 forward
+against its own dynamic-sliced weights, so this path trades throughput
+for single-dispatch mixed batches; when frames can be grouped by object,
+the CLI evaluator's per-object bucketing (one shared compile, b=8) is
+still several times faster.  Precomputing the batch-independent mesh
+features once per object (encode_stacked_mesh_feats -> the infer fn's
+``mesh_feats`` kwarg, round 5) instead of re-running the SplineCNN mesh
+encoder inside every per-element forward measured 2.0x on chip at the
+bench workload (57.3 -> 115.7 fps, b=16 mixed over 4 objects,
+scripts/bench_stacked_ab.py 2026-08-21); the CLI stacked path always
+passes it.  Chip note: features encoded in a separate jit differ from
+features encoded inside the infer jit by XLA fusion-order ulps, which on
+RANDOM near-isotropic features flips a few % of near-tie correspondence
+argmaxes (49/2048 at a 256-vertex toy; seg argmax and Kabsch weights
+bit-identical) — same class of noise as the bf16 note above, immaterial
+for trained (peaked) features, and the per-object production path
+precomputes its mesh features from a separate jit the same way.
 """
 
 from __future__ import annotations
@@ -53,6 +65,24 @@ def select_tree(stacked, index):
     return jax.tree_util.tree_map(
         lambda leaf: jax.lax.dynamic_index_in_dim(
             leaf, index, axis=0, keepdims=False), stacked)
+
+
+def encode_stacked_mesh_feats(model, all_vars, meshes):
+    """Precompute every object's mesh features once -> [n_objects, M, F].
+
+    The per-object eval pipeline caches `encode_mesh` per object because
+    the mesh branch is batch-independent (geomatch.py encode_mesh); the
+    stacked path gets the same treatment here: one shared jit encodes
+    each object's mesh once at setup, and `infer(..., mesh_feats=...)`
+    gathers the features per element instead of re-running the SplineCNN
+    mesh encoder inside every per-element forward (the round-4 design
+    re-encoded the mesh B times per batch).
+    """
+    import jax.numpy as jnp
+
+    enc = jax.jit(lambda v, m: model.apply(v, m, train=False,
+                                           method="encode_mesh"))
+    return jnp.stack([enc(v, m) for v, m in zip(all_vars, meshes)])
 
 
 def make_multi_model_infer(model, fit_fn=None, group: int = 16,
@@ -90,16 +120,32 @@ def make_multi_model_infer(model, fit_fn=None, group: int = 16,
         per-element refinement fit_poses_from_outputs applies
         (eval/pose_fit.apply_refine), added round 5 so `infer
         --stacked --refine icp` matches the per-object loop.
+      mesh_feats (call kwarg): optional [n_objects, M, F] precomputed
+        mesh features (encode_stacked_mesh_feats).  When given, each
+        element gathers its class's features instead of re-running the
+        batch-independent mesh encoder inside the per-element forward —
+        the stacked analogue of the per-object pipeline's cached
+        encode_mesh.  Same values as the recompute path (the features
+        come from the same encode_mesh jit).
     """
     from gdm_tpu.eval.pose_fit import apply_refine, fit_pose_single
 
-    def one(stacked_vars, stacked_mesh, icp_gates, inputs_b, cld_b, oi,
-            det_b):
+    def one(stacked_vars, stacked_mesh, stacked_feats, icp_gates,
+            inputs_b, cld_b, oi, det_b):
         variables = select_tree(stacked_vars, oi)
         mesh = select_tree(stacked_mesh, oi)
         inputs_1 = jax.tree_util.tree_map(
             lambda x: x[None], inputs_b)               # add batch dim of 1
-        out = model.apply(variables, inputs_1, mesh, train=False)
+        if stacked_feats is None:
+            out = model.apply(variables, inputs_1, mesh, train=False)
+        else:
+            # precomputed per-object mesh features (encode_stacked_
+            # mesh_feats): gather [M, F] by class instead of re-running
+            # the batch-independent mesh encoder per element
+            mf = jax.lax.dynamic_index_in_dim(
+                stacked_feats, oi, axis=0, keepdims=False)
+            out = model.apply(variables, inputs_1, mesh, train=False,
+                              mesh_features=mf)
         if fit_fn is not None:
             return fit_fn(cld_b, out, mesh.xyz, det_b)
         rt, w, idx = fit_pose_single(
@@ -113,7 +159,7 @@ def make_multi_model_infer(model, fit_fn=None, group: int = 16,
 
     @jax.jit
     def infer(stacked_vars, stacked_mesh, inputs, cld, obj_idx, det,
-              icp_reject=None):
+              icp_reject=None, mesh_feats=None):
         b = obj_idx.shape[0]
         g = min(group, b)
         assert b % g == 0, (b, g)
@@ -124,9 +170,9 @@ def make_multi_model_infer(model, fit_fn=None, group: int = 16,
 
         def vmapped(inputs_c, cld_c, oi_c, det_c):
             return jax.vmap(
-                one, in_axes=(None, None, None, 0, 0, 0, 0)
-            )(stacked_vars, stacked_mesh, icp_reject, inputs_c, cld_c,
-              oi_c, det_c)
+                one, in_axes=(None, None, None, None, 0, 0, 0, 0)
+            )(stacked_vars, stacked_mesh, mesh_feats, icp_reject,
+              inputs_c, cld_c, oi_c, det_c)
 
         if b == g:
             return vmapped(inputs, cld, obj_idx, det)

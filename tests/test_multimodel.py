@@ -219,6 +219,107 @@ def test_grouped_scan_matches_whole_vmap():
         np.testing.assert_allclose(got_g[0], per0, rtol=1e-5)
 
 
+def test_mesh_feats_routing_mechanics():
+    """Fast default-suite pin for the precomputed-mesh-feats path
+    (round 5): `infer(..., mesh_feats=stacked)` must gather each
+    element's OWN class's features and produce exactly what the
+    recompute path produces when the encoder is deterministic."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from gdm_tpu.eval.multimodel import (
+        encode_stacked_mesh_feats,
+        make_multi_model_infer,
+        stack_trees,
+    )
+
+    M = collections.namedtuple("M", ["bias", "xyz"])
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, inputs, mesh, train=False, mesh_features=None):
+            w = self.param("w", nn.initializers.normal(), (3, 4))
+            if mesh_features is None:
+                mesh_features = self.encode_mesh(mesh, train)
+            return {"y": inputs["x"] @ w + mesh_features}
+
+        def encode_mesh(self, mesh, train=False):
+            return 2.0 * mesh.bias          # "heavy" mesh branch stand-in
+
+    model = Tiny()
+    rng = np.random.RandomState(1)
+    n_obj, b = 3, 6
+    variables, meshes = [], []
+    for i in range(n_obj):
+        v = model.init(jax.random.PRNGKey(i),
+                       {"x": jnp.zeros((1, 5, 3))},
+                       M(jnp.float32(0.0), jnp.zeros(3)))
+        variables.append(jax.tree_util.tree_map(lambda a: a + i, v))
+        meshes.append(M(jnp.float32(7.0 * i + 1.0), jnp.zeros(3)))
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+    feats = encode_stacked_mesh_feats(model, variables, meshes)
+    np.testing.assert_allclose(
+        np.asarray(feats), 2.0 * np.array([1.0, 8.0, 15.0], np.float32))
+
+    def fit_fn(cld, out, mesh_xyz, det):
+        return out["y"][0].sum(0) + det
+
+    x = jnp.asarray(rng.randn(b, 5, 3).astype(np.float32))
+    obj_idx = jnp.asarray(rng.randint(0, n_obj, b).astype(np.int32))
+    cld = jnp.zeros((b, 5, 3))
+    det = jnp.asarray(rng.rand(b).astype(np.float32))
+    infer = make_multi_model_infer(model, fit_fn=fit_fn, group=2)
+    got_pre = np.asarray(infer(stacked_vars, stacked_mesh, {"x": x},
+                               cld, obj_idx, det, mesh_feats=feats))
+    got_rec = np.asarray(infer(stacked_vars, stacked_mesh, {"x": x},
+                               cld, obj_idx, det))
+    np.testing.assert_array_equal(got_pre, got_rec)
+    # and the routed features really are the element's own class's
+    per0 = np.asarray(x[0] @ np.asarray(
+        variables[int(obj_idx[0])]["params"]["w"])).sum(0) \
+        + 5 * 2.0 * (7.0 * int(obj_idx[0]) + 1.0) + float(det[0])
+    np.testing.assert_allclose(got_pre[0], per0, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_stacked_mesh_feats_matches_recompute(setup):
+    """GeoMatch-level pin: precomputed stacked mesh feats route each
+    element to its own object's features and reproduce the recompute
+    path's poses exactly (same encode_mesh jit feeds both)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.multimodel import (
+        encode_stacked_mesh_feats,
+        make_multi_model_infer,
+        stack_trees,
+    )
+
+    model, meshes, variables, datas = setup
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+    mixed_inputs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a[0], b[1]]),
+        datas[0][1], datas[1][1])
+    cld = jnp.stack([datas[0][0]["cld_rgb_nrm"][0, :, :3],
+                     datas[1][0]["cld_rgb_nrm"][1, :, :3]])
+    obj_idx = jnp.array([0, 1], jnp.int32)
+    det = jnp.ones((2,), jnp.float32)
+    feats = encode_stacked_mesh_feats(model, variables, meshes)
+
+    infer = make_multi_model_infer(model)
+    with jax.default_matmul_precision("float32"):
+        pre = np.asarray(infer(stacked_vars, stacked_mesh, mixed_inputs,
+                               cld, obj_idx, det, mesh_feats=feats))
+        rec = np.asarray(infer(stacked_vars, stacked_mesh, mixed_inputs,
+                               cld, obj_idx, det))
+    np.testing.assert_allclose(pre, rec, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_stacked_refine_matches_per_object(setup):
     """`infer --stacked --refine icp` (round 5): the stacked path's
