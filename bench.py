@@ -54,7 +54,9 @@ Round-5 keys (VERDICT r4 items 6/8): `vsd_ms_per_frame_hard_fresh` =
 the hard-VSD metric re-measured in a FRESH subprocess (clean tunnel
 client — in-process vs fresh separates code from tunnel mood);
 `stacked_fps_b16` = mixed-class stacked-multimodel inference
-(infer --stacked, 4 stacked weight sets, group=16 routing);
+(infer --stacked, 4 stacked weight sets; by_class grouped schedule —
+the CLI default — with `stacked_fps_b16_vmap` ledgering the
+per-element vmap schedule);
 `serve_p50_ms_b1/full` + p95 = HTTP pose-service latency over an AOT
 artifact, measured by scripts/bench_serve.py in a fresh subprocess.
 GDM_BENCH_{STACKED,SERVE}=0 skip.
@@ -812,16 +814,20 @@ def measure_vsd_hard(n_frames=16, reps=2, seed=4):
 
 
 def measure_stacked(data, mesh, model, variables, n_objects=8,
-                    batch=16, iters=8, warmup=2, seed=5):
+                    batch=16, iters=8, warmup=2, seed=5,
+                    schedule="by_class"):
     """Mixed-class stacked-multimodel inference fps (infer --stacked):
     `n_objects` perturbed weight sets stacked on a leading object axis,
-    a b=16 batch routed per element by obj_idx through ONE jit
-    (eval/multimodel.make_multi_model_infer, group=16 — the
-    chip-validated operating point; larger batches scan reused-buffer
-    groups).  Publishes the beyond-reference capability as a driver
-    JSON key instead of session-log prose (VERDICT r4 item 8).
-    Latency is weight-value independent, so perturbed copies of one
-    init stand in for real per-object checkpoints."""
+    a b=16 batch routed per element by obj_idx through ONE jit.
+    `schedule` follows the CLI: 'by_class' (default since round 5 —
+    eval/multimodel.make_multi_model_infer_by_class, group=4: one
+    batched forward per same-class run of sorted rows) or 'vmap' (a
+    b=1 forward per element, group=16).  Both paths gather PRECOMPUTED
+    per-object mesh features (encode_stacked_mesh_feats).  Publishes
+    the beyond-reference capability as a driver JSON key instead of
+    session-log prose (VERDICT r4 item 8).  Latency is weight-value
+    independent, so perturbed copies of one init stand in for real
+    per-object checkpoints."""
     import jax
     import jax.numpy as jnp
 
@@ -829,6 +835,7 @@ def measure_stacked(data, mesh, model, variables, n_objects=8,
     from gdm_tpu.eval.multimodel import (
         encode_stacked_mesh_feats,
         make_multi_model_infer,
+        make_multi_model_infer_by_class,
         stack_trees,
     )
     from gdm_tpu.models.geomatch import MeshArrays
@@ -862,7 +869,10 @@ def measure_stacked(data, mesh, model, variables, n_objects=8,
                                                  "neigh_idx", "basis",
                                                  "slot")], sym_idx=None)
                           for i in range(n_objects)])
-    infer_fn = make_multi_model_infer(model, group=16)
+    if schedule == "by_class":
+        infer_fn = make_multi_model_infer_by_class(model, group=4)
+    else:
+        infer_fn = make_multi_model_infer(model, group=16)
     rt = None
     for _ in range(warmup):
         rt = infer_fn(stacked_vars, stacked_mesh, inputs, cld, obj_idx,
@@ -1044,10 +1054,16 @@ def main():
     if os.environ.get("GDM_BENCH_STACKED", "1") != "0":
         try:
             with section("stacked"):
+                # the CLI default schedule (by_class) is the headline
+                # stacked key; the vmap schedule stays ledgered so the
+                # two paths' relative cost is driver-visible
                 result["stacked_fps_b16"] = round(measure_stacked(
                     data, mesh, model, variables, n_objects=4), 2)
+                result["stacked_fps_b16_vmap"] = round(measure_stacked(
+                    data, mesh, model, variables, n_objects=4,
+                    schedule="vmap"), 2)
         except Exception as e:
-            result["stacked_fps_b16"] = None
+            result.setdefault("stacked_fps_b16", None)
             result["stacked_error"] = str(e)[:120]
 
     # DGCNN before the train/e2e sections: whatever measures LAST in a

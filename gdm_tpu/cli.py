@@ -985,7 +985,7 @@ class _MixedInferDataset:
 
 
 def _infer_stacked(args):
-    """`infer --stacked`: mixed-class batches through the vmap-stacked
+    """`infer --stacked`: mixed-class batches through the stacked
     multi-model path (eval/multimodel.py) — ONE jit serves every
     object; each batch element dynamic-slices its own object's weights
     and mesh constants by detected class.
@@ -1007,6 +1007,7 @@ def _infer_stacked(args):
     from gdm_tpu.eval.multimodel import (
         encode_stacked_mesh_feats,
         make_multi_model_infer,
+        make_multi_model_infer_by_class,
         stack_trees,
     )
     from gdm_tpu.models.geomatch import MeshArrays
@@ -1116,8 +1117,16 @@ def _infer_stacked(args):
     stacked_feats = encode_stacked_mesh_feats(model, all_vars, meshes)
     import math
 
-    infer_fn = make_multi_model_infer(
-        model, group=math.gcd(batch_size, 16), refine=args.refine)
+    if getattr(args, "stacked_schedule", "by_class") == "by_class":
+        # default since round 5: one b=group forward per same-class
+        # run of sorted rows (2.5x the vmap schedule at the bench
+        # workload; exact vs the per-object loop, test_multimodel)
+        infer_fn = make_multi_model_infer_by_class(
+            model, group=getattr(args, "stacked_group", 4),
+            refine=args.refine)
+    else:
+        infer_fn = make_multi_model_infer(
+            model, group=math.gcd(batch_size, 16), refine=args.refine)
     icp_table = jnp.asarray(np.asarray(icp_gates, np.float32))
     mixed = _MixedInferDataset(parts)
     dl = DataLoader(mixed, batch_size, shuffle=False, drop_last=False,
@@ -1667,10 +1676,21 @@ def build_parser():
                         "(scene, im, obj) instances")
     i.add_argument("--stacked", action="store_true",
                    help="route MIXED-class batches through the "
-                        "vmap-stacked multi-model path (one jit serves "
+                        "stacked multi-model path (one jit serves "
                         "every object; eval/multimodel.py) instead of "
                         "the per-object loop — for streams where "
                         "grouping frames by object is impossible")
+    i.add_argument("--stacked-schedule", default="by_class",
+                   choices=("by_class", "vmap"),
+                   help="stacked routing schedule: by_class sorts rows "
+                        "by class inside the jit and runs one batched "
+                        "forward per same-class group (287 vs 116 fps "
+                        "at the b=16/4-object bench workload); vmap = "
+                        "a b=1 forward per element")
+    i.add_argument("--stacked-group", type=int, default=4,
+                   help="rows per grouped forward in the by_class "
+                        "schedule (padding waste is <group per present "
+                        "class; 4 measured best at ~4 rows/class)")
     i.add_argument("--model-shards", type=int, default=1,
                    help="shard the similarity argmax's mesh columns "
                         "over a 'model' mesh axis of this size")

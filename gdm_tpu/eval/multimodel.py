@@ -29,17 +29,17 @@ paths matters.  Do NOT compare routing paths by fitted pose with random
 weights: random features give a near-isotropic Kabsch covariance whose
 SVD amplifies 1e-6 noise into arbitrary rotations.
 
-Throughput (measured, same chip): each element runs a b=1 forward
-against its own dynamic-sliced weights, so this path trades throughput
-for single-dispatch mixed batches; when frames can be grouped by object,
-the CLI evaluator's per-object bucketing (one shared compile, b=8) is
-still several times faster.  Precomputing the batch-independent mesh
-features once per object (encode_stacked_mesh_feats -> the infer fn's
-``mesh_feats`` kwarg, round 5) instead of re-running the SplineCNN mesh
-encoder inside every per-element forward measured 2.0x on chip at the
-bench workload (57.3 -> 115.7 fps, b=16 mixed over 4 objects,
-scripts/bench_stacked_ab.py 2026-08-21); the CLI stacked path always
-passes it.  Chip note: features encoded in a separate jit differ from
+Throughput (measured on chip, b=16 mixed over 4 objects,
+scripts/bench_stacked_ab.py 2026-08-21): the round-4 design (a b=1
+forward per element, mesh re-encoded per element) ran 57.3 fps; round 5
+added two compounding changes.  (1) Precompute the batch-independent
+mesh features once per object (encode_stacked_mesh_feats -> the infer
+fn's ``mesh_feats`` kwarg): 115.7 fps.  (2) The by_class grouped
+schedule (make_multi_model_infer_by_class, the CLI default): sort rows
+by class inside the jit and run ONE b=group forward per same-class run —
+287.2 fps at group=4 (213.7 at group=8: ~4 rows/class makes half of
+every group padding), within 8% of the 310 fps per-object bucketing
+loop while still serving a mixed-class batch in one dispatch.  Chip note: features encoded in a separate jit differ from
 features encoded inside the infer jit by XLA fusion-order ulps, which on
 RANDOM near-isotropic features flips a few % of near-tie correspondence
 argmaxes (49/2048 at a 256-vertex toy; seg argmax and Kabsch weights
@@ -83,6 +83,121 @@ def encode_stacked_mesh_feats(model, all_vars, meshes):
     enc = jax.jit(lambda v, m: model.apply(v, m, train=False,
                                            method="encode_mesh"))
     return jnp.stack([enc(v, m) for v, m in zip(all_vars, meshes)])
+
+
+def make_multi_model_infer_by_class(model, fit_fn=None, group: int = 8,
+                                    refine: str | None = None,
+                                    icp_iters: int = 10):
+    """By-class grouped stacked inference (round 5).
+
+    Same call signature and semantics as make_multi_model_infer, but
+    instead of a b=1 forward per element the batch is SORTED by class
+    inside the jit and each run of up to `group` same-class rows goes
+    through ONE b=group forward with that class's weights — amortising
+    the forward across same-class rows the way the per-object eval loop
+    does, while still serving a mixed-class batch in a single dispatch.
+
+    Schedule (all fixed shapes): stable-argsort rows by obj_idx, rank
+    each row within its class, assign it to group `base[cls] + rank//g`
+    and slot `rank % g`; scatter row ids into a [G*g] table (G = the
+    static bound B//g + min(B, C) on sum_c ceil(n_c/g)).  A
+    `lax.while_loop` then runs exactly `sum_c ceil(n_c/g)` groups — a
+    DATA-DEPENDENT trip count, so absent classes cost nothing (a scan
+    over the static bound would pay every group) — each group
+    dynamic-slicing its rows, gathering its class's weights once, and
+    writing poses back through the slot table.  Unfilled slots hold row
+    0 as padding; their results are computed but never read back.
+
+    Work = sum_c ceil(n_c/g) forwards of batch g: best case (all rows
+    one class) ceil(B/g) forwards — the per-object loop's cost; worst
+    case (every row a distinct class) B forwards of batch g, which on
+    this chip costs about what the vmap path's B b=1 forwards cost
+    (b=1 and b=8 forwards are nearly the same wall time — the forward
+    is latency-bound at small batch).
+
+    `fit_fn`, if given, runs per GROUP here (cld_g [g,N,3], the b=g
+    end_points, mesh_xyz, det_g [g]) -> [g, ...] — unlike the vmap
+    path's per-element contract, because batched vs unbatched
+    end_points fields can't be split generically.  The default
+    masked-Kabsch fit (+ optional refine) matches the vmap path.
+    """
+    from gdm_tpu.eval.pose_fit import apply_refine, fit_pose_single
+
+    @jax.jit
+    def infer(stacked_vars, stacked_mesh, inputs, cld, obj_idx, det,
+              icp_reject=None, mesh_feats=None):
+        b = obj_idx.shape[0]
+        g = min(group, b)
+        n_cls = jax.tree_util.tree_leaves(stacked_vars)[0].shape[0]
+        if icp_reject is None:
+            icp_reject = jnp.full((n_cls,), 0.01, jnp.float32)
+
+        # ---- dispatch table (static shapes; see docstring) ----
+        order = jnp.argsort(obj_idx)                 # stable in jnp
+        sorted_cls = jnp.take(obj_idx, order)
+        counts = jax.nn.one_hot(obj_idx, n_cls,
+                                dtype=jnp.int32).sum(0)        # [C]
+        start = jnp.cumsum(counts) - counts          # exclusive cumsum
+        gpc = -(-counts // g)                        # groups per class
+        class_base = jnp.cumsum(gpc) - gpc
+        n_groups = gpc.sum()
+        big_g = b // g + min(b, n_cls)               # static bound
+        i = jnp.arange(b)
+        rank = i - jnp.take(start, sorted_cls)       # rank within class
+        grp = jnp.take(class_base, sorted_cls) + rank // g
+        slot = grp * g + rank % g
+        rows_table = jnp.zeros((big_g * g,), jnp.int32).at[slot].set(
+            order)
+        group_cls = jnp.zeros((big_g,), jnp.int32).at[grp].set(
+            sorted_cls)
+        slot_of_row = jnp.zeros((b,), jnp.int32).at[order].set(slot)
+
+        def group_rt(t):
+            cls_t = group_cls[t]
+            rows = jax.lax.dynamic_slice(rows_table, (t * g,), (g,))
+            variables = select_tree(stacked_vars, cls_t)
+            mesh = select_tree(stacked_mesh, cls_t)
+            inputs_g = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, rows, axis=0), inputs)
+            cld_g = jnp.take(cld, rows, axis=0)
+            det_g = jnp.take(det, rows, axis=0)
+            if mesh_feats is None:
+                out = model.apply(variables, inputs_g, mesh,
+                                  train=False)
+            else:
+                mf = jax.lax.dynamic_index_in_dim(
+                    mesh_feats, cls_t, axis=0, keepdims=False)
+                out = model.apply(variables, inputs_g, mesh,
+                                  train=False, mesh_features=mf)
+            if fit_fn is not None:
+                return fit_fn(cld_g, out, mesh.xyz, det_g)
+
+            def fit_one(cld_b, seg_b, rgbd_b, det_b):
+                rt, w, idx = fit_pose_single(
+                    cld_b, seg_b, out["mesh"], rgbd_b, mesh.xyz, det_b)
+                if refine is not None:
+                    rt = apply_refine(
+                        rt, w, idx, cld_b, mesh.xyz, refine,
+                        icp_iters=icp_iters,
+                        icp_reject_dist=icp_reject[cls_t])
+                return rt
+            return jax.vmap(fit_one)(cld_g, out["seg"], out["rgbd"],
+                                     det_g)
+
+        rt_sd = jax.eval_shape(group_rt, jnp.int32(0))
+        buf0 = jnp.zeros((big_g,) + rt_sd.shape, rt_sd.dtype)
+
+        def body(carry):
+            t, buf = carry
+            return t + 1, jax.lax.dynamic_update_index_in_dim(
+                buf, group_rt(t), t, axis=0)
+
+        _, buf = jax.lax.while_loop(
+            lambda c: c[0] < n_groups, body, (jnp.int32(0), buf0))
+        flat = buf.reshape((big_g * g,) + rt_sd.shape[1:])
+        return jnp.take(flat, slot_of_row, axis=0)
+
+    return infer
 
 
 def make_multi_model_infer(model, fit_fn=None, group: int = 16,

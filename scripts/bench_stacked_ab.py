@@ -30,6 +30,7 @@ def main():
     from gdm_tpu.eval.multimodel import (
         encode_stacked_mesh_feats,
         make_multi_model_infer,
+        make_multi_model_infer_by_class,
         stack_trees,
     )
     from gdm_tpu.models import GeoMatch
@@ -69,26 +70,30 @@ def main():
 
     infer_fn = make_multi_model_infer(model, group=16)
 
-    def run(tag, **kw):
+    def run(fn, tag, **kw):
         rt = None
         for _ in range(2):
-            rt = infer_fn(stacked_vars, stacked_mesh, inputs, cld,
-                          obj_idx, det, **kw)
+            rt = fn(stacked_vars, stacked_mesh, inputs, cld,
+                    obj_idx, det, **kw)
         float(jax.device_get(rt[-1, 0, 0]))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            rt = infer_fn(stacked_vars, stacked_mesh, inputs, cld,
-                          obj_idx, det, **kw)
+            rt = fn(stacked_vars, stacked_mesh, inputs, cld,
+                    obj_idx, det, **kw)
         float(jax.device_get(rt[-1, 0, 0]))
         fps = args.iters * batch / (time.perf_counter() - t0)
         print(f"{tag:28s} {fps:7.1f} fps", flush=True)
         return fps, np.asarray(rt)
 
-    fps_re, rt_re = run("recompute (r4 design)")
-    fps_pre, rt_pre = run("precomputed feats (r5)", mesh_feats=feats)
+    fps_re, rt_re = run(infer_fn, "recompute (r4 design)")
+    fps_pre, rt_pre = run(infer_fn, "precomputed feats (r5)",
+                          mesh_feats=feats)
+    for g in (4, 8):
+        byc = make_multi_model_infer_by_class(model, group=g)
+        run(byc, f"by-class schedule g={g}", mesh_feats=feats)
     # and back-to-back again to expose drift
-    fps_re2, _ = run("recompute again")
-    fps_pre2, _ = run("precomputed again", mesh_feats=feats)
+    fps_re2, _ = run(infer_fn, "recompute again")
+    fps_pre2, _ = run(infer_fn, "precomputed again", mesh_feats=feats)
     print(f"speedup {max(fps_pre, fps_pre2) / max(fps_re, fps_re2):.2f}x; "
           f"max pose delta {np.abs(rt_pre - rt_re).max():.2e}")
 

@@ -285,6 +285,127 @@ def test_mesh_feats_routing_mechanics():
     np.testing.assert_allclose(got_pre[0], per0, rtol=1e-5)
 
 
+def test_by_class_schedule_matches_vmap():
+    """By-class grouped dispatch (round 5): sorting rows by class and
+    running one b=g forward per same-class group must reproduce the
+    per-element vmap path for every class distribution — all-one-class,
+    all-distinct, mixed, and a batch not divisible by the group size."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from gdm_tpu.eval.multimodel import (
+        encode_stacked_mesh_feats,
+        make_multi_model_infer,
+        make_multi_model_infer_by_class,
+        stack_trees,
+    )
+
+    M = collections.namedtuple("M", ["bias", "xyz"])
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, inputs, mesh, train=False, mesh_features=None):
+            w = self.param("w", nn.initializers.normal(), (3, 4))
+            if mesh_features is None:
+                mesh_features = self.encode_mesh(mesh, train)
+            return {"y": inputs["x"] @ w + mesh_features}
+
+        def encode_mesh(self, mesh, train=False):
+            return 2.0 * mesh.bias
+
+    model = Tiny()
+    rng = np.random.RandomState(3)
+    n_obj = 4
+    variables, meshes = [], []
+    for i in range(n_obj):
+        v = model.init(jax.random.PRNGKey(i),
+                       {"x": jnp.zeros((1, 5, 3))},
+                       M(jnp.float32(0.0), jnp.zeros(3)))
+        variables.append(jax.tree_util.tree_map(lambda a: a + i, v))
+        meshes.append(M(jnp.float32(3.0 * i + 1.0), jnp.zeros(3)))
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+    feats = encode_stacked_mesh_feats(model, variables, meshes)
+
+    # same math, two contracts: per element (vmap path) vs per group
+    def fit_elem(cld, out, mesh_xyz, det):
+        return out["y"][0].sum(0) + det
+
+    def fit_group(cld_g, out, mesh_xyz, det_g):
+        return out["y"].sum(1) + det_g[:, None]
+
+    cases = [
+        (8, 3, np.zeros(8, np.int32)),                   # one class
+        (8, 3, np.arange(8, dtype=np.int32) % n_obj),    # round-robin
+        (7, 3, np.array([2, 0, 2, 2, 1, 0, 2], np.int32)),  # b % g != 0
+        (6, 8, np.array([1, 3, 1, 3, 3, 3], np.int32)),  # g > counts
+    ]
+    for b, g, oi in cases:
+        x = jnp.asarray(rng.randn(b, 5, 3).astype(np.float32))
+        cld = jnp.zeros((b, 5, 3))
+        det = jnp.asarray(rng.rand(b).astype(np.float32))
+        obj_idx = jnp.asarray(oi)
+        ref = make_multi_model_infer(model, fit_fn=fit_elem, group=b)
+        byc = make_multi_model_infer_by_class(model, fit_fn=fit_group,
+                                              group=g)
+        want = np.asarray(ref(stacked_vars, stacked_mesh, {"x": x},
+                              cld, obj_idx, det, mesh_feats=feats))
+        got = np.asarray(byc(stacked_vars, stacked_mesh, {"x": x},
+                             cld, obj_idx, det, mesh_feats=feats))
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg=f"b={b} g={g} oi={oi}")
+
+
+@pytest.mark.slow
+def test_by_class_matches_per_object_geomatch(setup):
+    """GeoMatch-level pin for the by-class schedule: default
+    masked-Kabsch fit through the grouped forwards must reproduce the
+    per-object loop's poses (mixed 2-object batch, group=2 so one
+    group per class actually batches rows together)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.multimodel import (
+        encode_stacked_mesh_feats,
+        make_multi_model_infer_by_class,
+        stack_trees,
+    )
+    from gdm_tpu.eval.pose_fit import fit_pose_single
+
+    model, meshes, variables, datas = setup
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+    # both elements of each object -> groups really batch 2 rows
+    mixed_inputs = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[:2], b[:2]]),
+        datas[0][1], datas[1][1])
+    cld = jnp.concatenate([datas[0][0]["cld_rgb_nrm"][:2, :, :3],
+                           datas[1][0]["cld_rgb_nrm"][:2, :, :3]])
+    obj_idx = jnp.array([0, 0, 1, 1], jnp.int32)
+    det = jnp.ones((4,), jnp.float32)
+    feats = encode_stacked_mesh_feats(model, variables, meshes)
+
+    infer = make_multi_model_infer_by_class(model, group=2)
+    with jax.default_matmul_precision("float32"):
+        poses = np.asarray(infer(stacked_vars, stacked_mesh,
+                                 mixed_inputs, cld, obj_idx, det,
+                                 mesh_feats=feats))
+        for b, obj in ((0, 0), (1, 0), (2, 1), (3, 1)):
+            inputs_1 = jax.tree_util.tree_map(
+                lambda x: x[b:b + 1], mixed_inputs)
+            out = model.apply(variables[obj], inputs_1, meshes[obj],
+                              train=False,
+                              mesh_features=feats[obj])
+            rt, _, _ = fit_pose_single(
+                cld[b], out["seg"][0], out["mesh"], out["rgbd"][0],
+                meshes[obj].xyz, det[b])
+            np.testing.assert_allclose(poses[b], np.asarray(rt),
+                                       atol=1e-4)
+
+
 @pytest.mark.slow
 def test_stacked_mesh_feats_matches_recompute(setup):
     """GeoMatch-level pin: precomputed stacked mesh feats route each
@@ -318,6 +439,55 @@ def test_stacked_mesh_feats_matches_recompute(setup):
         rec = np.asarray(infer(stacked_vars, stacked_mesh, mixed_inputs,
                                cld, obj_idx, det))
     np.testing.assert_allclose(pre, rec, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_by_class_refine_matches_per_object(setup):
+    """`infer --stacked --refine icp` routes through the by_class
+    schedule by default (round 5): the grouped path's per-element
+    apply_refine with the per-object gate table must reproduce the
+    per-object loop's refined poses."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdm_tpu.eval.multimodel import (
+        encode_stacked_mesh_feats,
+        make_multi_model_infer_by_class,
+        stack_trees,
+    )
+    from gdm_tpu.eval.pose_fit import apply_refine, fit_pose_single
+
+    model, meshes, variables, datas = setup
+    stacked_vars = stack_trees(variables)
+    stacked_mesh = stack_trees(meshes)
+    mixed_inputs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a[0], b[1]]),
+        datas[0][1], datas[1][1])
+    cld = jnp.stack([datas[0][0]["cld_rgb_nrm"][0, :, :3],
+                     datas[1][0]["cld_rgb_nrm"][1, :, :3]])
+    obj_idx = jnp.array([0, 1], jnp.int32)
+    det = jnp.ones((2,), jnp.float32)
+    gates = jnp.array([0.012, 0.02], jnp.float32)
+    feats = encode_stacked_mesh_feats(model, variables, meshes)
+
+    infer = make_multi_model_infer_by_class(model, group=2,
+                                            refine="icp")
+    with jax.default_matmul_precision("float32"):
+        poses = np.asarray(infer(stacked_vars, stacked_mesh,
+                                 mixed_inputs, cld, obj_idx, det,
+                                 gates, mesh_feats=feats))
+        for b, obj in enumerate([0, 1]):
+            inputs_1 = jax.tree_util.tree_map(
+                lambda x: x[b:b + 1], mixed_inputs)
+            out = model.apply(variables[obj], inputs_1, meshes[obj],
+                              train=False, mesh_features=feats[obj])
+            rt, w, idx = fit_pose_single(
+                cld[b], out["seg"][0], out["mesh"], out["rgbd"][0],
+                meshes[obj].xyz, det[b])
+            rt = apply_refine(rt, w, idx, cld[b], meshes[obj].xyz,
+                              "icp", icp_reject_dist=gates[obj])
+            np.testing.assert_allclose(poses[b], np.asarray(rt),
+                                       atol=1e-4)
 
 
 @pytest.mark.slow
